@@ -1,0 +1,298 @@
+"""nnU-Net-style dynamic U-Net in Flax (NHWC, bf16-friendly).
+
+Capability parity with the reference UNet
+(contour_uncertainty/models/nnUnet/unet2.py:37-208 and layers.py): 8 stages,
+filters min(2^(5+i), 480), double-conv blocks of
+conv -> [channel dropout] -> instance norm -> leaky ReLU, optional residual
+blocks, attention-gated skips, deep supervision, SSN heads (mean / sigma /
+low-rank factor), `drop_block` MC-dropout in the two deepest encoder stages +
+bottleneck, bottleneck feature output feeding a ConfidenceNet skew head.
+
+TPU-first design choices:
+- NHWC layout end-to-end (XLA's native conv layout on TPU).
+- A `dtype` knob runs all convs in bfloat16 with float32 params/norms.
+- Dropout uses flax's deterministic flag; MC-dropout at inference is just
+  `deterministic=False` with a fresh key per epistemic sample — no module
+  patching (the reference monkey-patches torch modules, utils/mcdropout.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Matches torch kaiming_normal_(a=negative_slope) used by the reference
+# (unet2.py:309-314): N(0, sqrt(2 / ((1 + a^2) fan_in))).
+_KAIMING = nn.initializers.variance_scaling(
+    2.0 / (1.0 + 0.01 ** 2), "fan_in", "truncated_normal"
+)
+
+
+class ConvLayer(nn.Module):
+    """conv -> [drop] -> instance norm -> leaky relu."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    negative_slope: float = 1e-2
+    drop_block: bool = False
+    drop_rate: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Conv(
+            self.features,
+            tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding="SAME",
+            kernel_init=_KAIMING,
+            dtype=self.dtype,
+        )(x)
+        if self.drop_block:
+            # Channel dropout (torch Dropout2d): broadcast over H, W.
+            x = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2))(
+                x, deterministic=deterministic
+            )
+        x = nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32
+        )(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class ConvBlock(nn.Module):
+    """Double ConvLayer; first carries the stage stride."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    negative_slope: float = 1e-2
+    drop_block: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = ConvLayer(
+            self.features, self.kernel_size, self.strides,
+            self.negative_slope, self.drop_block, dtype=self.dtype,
+        )(x, deterministic=deterministic)
+        x = ConvLayer(
+            self.features, self.kernel_size, (1, 1),
+            self.negative_slope, self.drop_block, dtype=self.dtype,
+        )(x, deterministic=deterministic)
+        return x
+
+
+class ResidBlock(nn.Module):
+    """Residual double-conv block (reference layers.py ResidBlock)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    negative_slope: float = 1e-2
+    drop_block: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        residual = x
+        out = ConvLayer(
+            self.features, self.kernel_size, self.strides,
+            self.negative_slope, self.drop_block, dtype=self.dtype,
+        )(x, deterministic=deterministic)
+        out = nn.Conv(
+            self.features, tuple(self.kernel_size), padding="SAME",
+            kernel_init=_KAIMING, dtype=self.dtype,
+        )(out)
+        if self.drop_block:
+            out = nn.Dropout(0.5, broadcast_dims=(1, 2))(out, deterministic=deterministic)
+        out = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32)(out)
+        needs_proj = max(self.strides) > 1 or x.shape[-1] != self.features
+        if needs_proj:
+            residual = nn.Conv(
+                self.features, tuple(self.kernel_size), strides=tuple(self.strides),
+                padding="SAME", kernel_init=_KAIMING, dtype=self.dtype,
+            )(residual)
+            if self.drop_block:
+                residual = nn.Dropout(0.5, broadcast_dims=(1, 2))(
+                    residual, deterministic=deterministic
+                )
+            residual = nn.GroupNorm(
+                num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32
+            )(residual)
+        return nn.leaky_relu(out + residual, self.negative_slope)
+
+
+class AttentionGate(nn.Module):
+    """Additive attention gate on a skip connection (reference AttentionLayer use)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, gate, skip):
+        def att_layer(h, f):
+            h = nn.Conv(f, (3, 3), padding="SAME", kernel_init=_KAIMING, dtype=self.dtype)(h)
+            return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32)(h)
+
+        half = self.features // 2
+        g = att_layer(gate, half)
+        s = att_layer(skip, half)
+        psi = att_layer(nn.relu(g + s), 1)
+        return skip * nn.sigmoid(psi)
+
+
+class UpsampleBlock(nn.Module):
+    """Transposed conv upsample + (gated) skip concat + double conv."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (2, 2)
+    negative_slope: float = 1e-2
+    attention: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, *, deterministic: bool = True):
+        x = nn.ConvTranspose(
+            self.features, tuple(self.strides), strides=tuple(self.strides),
+            padding="VALID", use_bias=False, kernel_init=_KAIMING, dtype=self.dtype,
+        )(x)
+        if self.attention:
+            skip = AttentionGate(self.features, dtype=self.dtype)(x, skip)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return ConvBlock(
+            self.features, self.kernel_size, (1, 1),
+            self.negative_slope, False, dtype=self.dtype,
+        )(x, deterministic=deterministic)
+
+
+class OutputBlock(nn.Module):
+    """1x1 conv head (reference OutputBlock; bias off by default)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, (1, 1), use_bias=self.use_bias,
+            kernel_init=_KAIMING, dtype=self.dtype,
+        )(x).astype(jnp.float32)
+
+
+class ConfidenceNet(nn.Module):
+    """Bottleneck (N, Hb, Wb, 480) -> (N, output_size) skew head
+    (reference unet2.py:14-34)."""
+
+    output_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(3):
+            x = nn.Conv(128, (3, 3), padding="SAME", kernel_init=_KAIMING, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(self.output_size, dtype=self.dtype)(x).astype(jnp.float32)
+
+
+class UNet(nn.Module):
+    """Dynamic 2D U-Net.
+
+    Args mirror the reference constructor (unet2.py:58-96). `output_shape[0]`
+    is the number of output channels (K heatmaps or classes).
+
+    __call__ returns a dict:
+        out: (N, C_out, H, W) main head   (NCHW to match task-side math)
+        deep_supervision: list of lower-res heads (train + deep_supervision)
+        ssn: list of extra SSN heads
+        bottleneck: (N, Hb, Wb, 480) features when bottleneck_out
+    """
+
+    input_shape: Sequence[int]  # (C, H, W)
+    output_shape: Sequence[int]  # (C_out, H, W)
+    kernels: Sequence[Sequence[int]] = ((3, 3),) * 8
+    strides: Sequence[Sequence[int]] = ((1, 1),) + ((2, 2),) * 7
+    negative_slope: float = 1e-2
+    deep_supervision: bool = False
+    attention: bool = False
+    drop_block: bool = False
+    residual: bool = False
+    out_seg_bias: bool = False
+    ssn_rank: int = 0
+    bottleneck_out: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def filters(self):
+        return [min(2 ** (5 + i), 480) for i in range(len(self.strides))]
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None):
+        if deterministic is None:
+            deterministic = not train
+        filters = self.filters
+        n_classes = self.output_shape[0]
+        block = ResidBlock if self.residual else ConvBlock
+        # Accept NCHW (reference convention) and run NHWC internally.
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+
+        out = block(filters[0], self.kernels[0], self.strides[0],
+                    self.negative_slope, False, dtype=self.dtype)(
+            x, deterministic=deterministic)
+        skips = [out]
+        n_down = len(filters) - 2
+        for i in range(n_down):
+            # drop_block only in the two deepest encoder stages (unet2.py:303).
+            use_drop = self.drop_block and (n_down - i) <= 2
+            out = block(filters[i + 1], self.kernels[i + 1], self.strides[i + 1],
+                        self.negative_slope, use_drop, dtype=self.dtype)(
+                out, deterministic=deterministic)
+            skips.append(out)
+        out = block(filters[-1], self.kernels[-1], self.strides[-1],
+                    self.negative_slope, self.drop_block, dtype=self.dtype)(
+            out, deterministic=deterministic)
+        bottleneck = out
+
+        decoder_outputs = []
+        up_filters = filters[:-1][::-1]
+        up_kernels = list(self.kernels[1:])[::-1]
+        up_strides = list(self.strides[1:])[::-1]
+        for i, skip in enumerate(reversed(skips)):
+            out = UpsampleBlock(up_filters[i], up_kernels[i], up_strides[i],
+                                self.negative_slope, self.attention, dtype=self.dtype)(
+                out, skip, deterministic=deterministic)
+            decoder_outputs.append(out)
+
+        upsample_out = out
+        main = OutputBlock(n_classes, self.out_seg_bias, dtype=self.dtype)(out)
+
+        result = {"out": jnp.transpose(main, (0, 3, 1, 2))}
+
+        if self.deep_supervision and train:
+            ds = []
+            # Heads on all decoder levels except the two lowest resolutions
+            # (unet2.py:196-199: decoder_outputs[2:-1] reversed).
+            for j, dec in enumerate(decoder_outputs[2:-1][::-1]):
+                level = len(decoder_outputs) - 1 - (j + 2) + 1  # filters index
+                head = OutputBlock(n_classes, self.out_seg_bias, dtype=self.dtype,
+                                   name=f"deep_supervision_{j}")(dec)
+                ds.append(jnp.transpose(head, (0, 3, 1, 2)))
+            result["deep_supervision"] = ds
+
+        if self.ssn_rank != 0:
+            ssn_heads = [OutputBlock(n_classes, dtype=self.dtype, name="ssn_sigma")(upsample_out)]
+            if self.ssn_rank > 1:
+                ssn_heads.append(
+                    OutputBlock(n_classes * self.ssn_rank, dtype=self.dtype,
+                                name="ssn_factor")(upsample_out)
+                )
+            result["ssn"] = [jnp.transpose(h, (0, 3, 1, 2)) for h in ssn_heads]
+
+        if self.bottleneck_out:
+            result["bottleneck"] = bottleneck.astype(jnp.float32)
+        return result

@@ -1,0 +1,160 @@
+"""DSNT (differentiable spatial-to-numerical transform) as one fused moment matmul.
+
+Capability parity with the reference's dsnt/flat_softmax
+(contour_uncertainty/task/regression/dsnt/utils.py:7-77), redesigned for TPU:
+instead of materializing full X/Y coordinate grids and taking K separate
+(K,HW)x(1,HW) inner products per moment, we build a single static basis
+matrix  B in R^{HW x M}  whose columns are the monomials
+[x, y, x^2, y^2, x*y (, x^3, y^3)] of the normalized cell-center grid and
+compute *all* raw moments of all K heatmaps with one MXU matmul
+
+    moments = softmax(logits) @ B        # (N*K, HW) @ (HW, M)
+
+Central moments then follow from raw moments:
+    var_x  = E[x^2] - E[x]^2
+    cov_xy = E[xy]  - E[x] E[y]
+which is algebraically identical to the reference's explicit
+sum(p * (X - mu)^2) formulation but reads the heatmap once.
+
+XLA fuses the softmax into the matmul's epilogue; a further Pallas variant
+lives in ops/pallas/dsnt_pallas.py for the single-pass fused reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from contouring_uncertainty_tpu.ops.coords import normalized_linspace, normalized_to_pixel
+
+
+def flat_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Softmax over the trailing two (spatial) axes. Input (..., H, W)."""
+    shape = logits.shape
+    flat = logits.reshape(*shape[:-2], shape[-2] * shape[-1])
+    return jax.nn.softmax(flat, axis=-1).reshape(shape)
+
+
+def _moment_basis(height: int, width: int, order: int, dtype) -> jnp.ndarray:
+    """Static (H*W, M) monomial basis over the normalized cell-center grid.
+
+    Columns: [x, y, x^2, y^2, x*y] and, if order >= 3, [x^3, y^3].
+    """
+    xs = normalized_linspace(width, dtype=jnp.float32)
+    ys = normalized_linspace(height, dtype=jnp.float32)
+    x = jnp.tile(xs[None, :], (height, 1)).reshape(-1)
+    y = jnp.tile(ys[:, None], (1, width)).reshape(-1)
+    cols = [x, y, x * x, y * y, x * y]
+    if order >= 3:
+        cols += [x ** 3, y ** 3]
+    return jnp.stack(cols, axis=-1).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("compute_skew",))
+def dsnt_moments(probs: jnp.ndarray, compute_skew: bool = False):
+    """First/second (and optionally third central) moments of spatial pmfs.
+
+    Args:
+        probs: (..., K, H, W) normalized heatmaps (rows sum to 1).
+        compute_skew: also return third *central* moments.
+
+    Returns:
+        mean: (..., K, 2) normalized (x, y) coordinates.
+        var: (..., K, 2) variances (x, y).
+        cov: (..., K) covariance between x and y.
+        [skew]: (..., K, 2) third central moments E[(u-mu)^3].
+    """
+    *lead, height, width = probs.shape
+    basis = _moment_basis(height, width, 3 if compute_skew else 2, jnp.float32)
+    flat = probs.reshape(-1, height * width).astype(jnp.float32)
+    # HIGHEST precision: the central-moment cancellation (E[x^2] - E[x]^2)
+    # needs full f32 accumulation, not the MXU's default bf16 passes.
+    raw = jnp.dot(flat, basis, precision=jax.lax.Precision.HIGHEST)  # (prod(lead), M)
+    raw = raw.reshape(*lead, basis.shape[-1])
+
+    ex, ey = raw[..., 0], raw[..., 1]
+    exx, eyy, exy = raw[..., 2], raw[..., 3], raw[..., 4]
+    mean = jnp.stack([ex, ey], axis=-1)
+    var = jnp.stack([exx - ex * ex, eyy - ey * ey], axis=-1)
+    cov = exy - ex * ey
+    if not compute_skew:
+        return mean, var, cov
+    exxx, eyyy = raw[..., 5], raw[..., 6]
+    # Third central moment: E[u^3] - 3 mu E[u^2] + 2 mu^3.
+    skew = jnp.stack(
+        [
+            exxx - 3.0 * ex * exx + 2.0 * ex ** 3,
+            eyyy - 3.0 * ey * eyy + 2.0 * ey ** 3,
+        ],
+        axis=-1,
+    )
+    return mean, var, cov, skew
+
+
+def build_cov_matrix(var: jnp.ndarray, cov_xy: jnp.ndarray) -> jnp.ndarray:
+    """Assemble (..., 2, 2) covariance matrices from per-axis variances + cross term."""
+    row0 = jnp.stack([var[..., 0], cov_xy], axis=-1)
+    row1 = jnp.stack([cov_xy, var[..., 1]], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("use_covar",))
+def heatmaps_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
+    """Full DSNT head: logits -> per-keypoint pixel-space Gaussian (mu, Sigma).
+
+    Mirrors the scaling used by the reference DSNT-AL task
+    (task/regression/dsnt/dsnt_al.py:45-71): normalized moments are converted
+    to pixels with `pixel = 0.5*((c+1)*size - 1)` and second moments scaled by
+    (size/2)^2, assuming square inputs (size = W = H).
+
+    Args:
+        logits: (..., K, H, W) raw heatmap logits.
+        use_covar: include the xy covariance term (off-diagonal) in Sigma.
+
+    Returns:
+        probs: (..., K, H, W) spatial softmax.
+        mu: (..., K, 2) pixel coordinates (x, y).
+        sigma: (..., K, 2, 2) pixel-space covariance matrices.
+    """
+    height, width = logits.shape[-2:]
+    probs = flat_softmax(logits)
+    mean, var, cov = dsnt_moments(probs)
+    mu = normalized_to_pixel(mean, (height, width))
+    scale = (width / 2.0) ** 2
+    pixel_var = var * scale
+    pixel_cov = jnp.where(use_covar, cov * scale, jnp.zeros_like(cov))
+    sigma = build_cov_matrix(pixel_var, pixel_cov)
+    return probs, mu, sigma
+
+
+def gaussian_nll(mu: jnp.ndarray, sigma: jnp.ndarray, y: jnp.ndarray,
+                 log_penalty_weight: float = 1.0, mse_weight: float = 1.0):
+    """Per-point bivariate Gaussian NLL:  w1*log|Sigma| + w2*(mu-y)^T Sigma^-1 (mu-y).
+
+    Matches the reference DSNT-AL loss (dsnt_al.py:64-71). Uses closed-form
+    2x2 inverse/determinant (no generic linalg on the hot path).
+
+    Args:
+        mu: (..., 2), sigma: (..., 2, 2), y: (..., 2).
+
+    Returns:
+        (loss_per_point, logdet_term, maha_term), each (...,).
+    """
+    a = sigma[..., 0, 0]
+    b = sigma[..., 0, 1]
+    d = sigma[..., 1, 1]
+    det = a * d - b * b
+    diff = mu - y
+    dx, dy = diff[..., 0], diff[..., 1]
+    # (mu-y)^T Sigma^-1 (mu-y) with the 2x2 adjugate.
+    maha = (d * dx * dx - 2.0 * b * dx * dy + a * dy * dy) / det
+    logdet = jnp.log(det)
+    loss = log_penalty_weight * logdet + mse_weight * maha
+    return loss, logdet, maha
+
+
+def euclidean_error(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-point Euclidean distance over the last axis."""
+    return jnp.linalg.norm(pred - target, axis=-1)

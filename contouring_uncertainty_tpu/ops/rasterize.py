@@ -1,0 +1,114 @@
+"""On-device contour -> mask rasterization (the reference's dominant CPU cost).
+
+Capability parity with utils/contour.py:28-53 (`reconstruction` /
+`linear_reconstruction`: spline/polyline trace + closing line +
+scipy binary_fill_holes), redesigned for TPU as a fully vectorized
+even-odd scanline fill:
+
+1. densify the contour (spline or straight segments) into a closed polygon
+   with a static number of edges;
+2. for every (edge, image row) pair compute whether the edge crosses the
+   row's pixel-center line and where;
+3. per row, keep the first MAX_CROSSINGS intersection abscissae (top_k —
+   anatomical contours cross each scanline a handful of times, so 16 is a
+   loose bound);
+4. a pixel is inside iff an odd number of kept crossings lie to its left.
+
+Everything is static-shape, O(E*H + H*W*MAX_CROSSINGS) VPU work per mask and
+vmaps over (batch, T_e, T_a) sample populations — the reference looped this
+per sample on host (N*T_e*T_a scipy calls, SURVEY §2.6 #4).
+
+Boundary pixels (which binary_fill_holes also marks) are added by scattering
+the rounded dense polygon onto the grid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from contouring_uncertainty_tpu.ops.spline import contour_spline
+
+MAX_CROSSINGS = 16
+
+
+def _densify_linear(points: jnp.ndarray, n_per_edge: int) -> jnp.ndarray:
+    """(K, 2) landmarks -> (K*n_per_edge, 2) closed polyline (straight edges)."""
+    nxt = jnp.roll(points, -1, axis=0)
+    w = jnp.linspace(0.0, 1.0, n_per_edge, endpoint=False, dtype=points.dtype)
+    dense = points[:, None, :] * (1.0 - w)[None, :, None] + nxt[:, None, :] * w[None, :, None]
+    return dense.reshape(-1, 2)
+
+
+def polygon_fill(dense: jnp.ndarray, height: int, width: int,
+                 include_boundary: bool = True) -> jnp.ndarray:
+    """Even-odd fill of a closed polygon given densified vertices (P, 2) in (x, y).
+
+    Returns a float32 (height, width) {0,1} mask.
+    """
+    p0 = dense
+    p1 = jnp.roll(dense, -1, axis=0)
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+
+    rows = jnp.arange(height, dtype=dense.dtype)  # pixel-center y coordinates
+    # (E, H): does edge e cross the horizontal line y = row?
+    above0 = y0[:, None] > rows[None, :]
+    above1 = y1[:, None] > rows[None, :]
+    crosses = above0 != above1
+    denom = y1 - y0
+    tt = (rows[None, :] - y0[:, None]) / jnp.where(
+        jnp.abs(denom) < 1e-12, 1.0, denom
+    )[:, None]
+    x_int = x0[:, None] + tt * (x1 - x0)[:, None]
+    x_int = jnp.where(crosses, x_int, jnp.inf)  # (E, H)
+
+    # Per row keep the MAX_CROSSINGS smallest crossing abscissae.
+    neg_topk, _ = jax.lax.top_k(-x_int.T, MAX_CROSSINGS)  # (H, MC)
+    xs = -neg_topk
+
+    cols = jnp.arange(width, dtype=dense.dtype)
+    counts = jnp.sum(cols[None, :, None] >= xs[:, None, :], axis=-1)  # (H, W)
+    mask = (counts % 2).astype(jnp.float32)
+
+    if include_boundary:
+        xi = jnp.clip(jnp.round(dense[:, 0]).astype(jnp.int32), 0, width - 1)
+        yi = jnp.clip(jnp.round(dense[:, 1]).astype(jnp.int32), 0, height - 1)
+        mask = mask.at[yi, xi].max(1.0)
+    return mask
+
+
+@partial(jax.jit, static_argnames=("height", "width", "n_dense", "include_boundary"))
+def rasterize_spline(points: jnp.ndarray, height: int, width: int,
+                     n_dense: int = 1024, include_boundary: bool = True) -> jnp.ndarray:
+    """Spline-interpolated filled contour mask (reference `reconstruction`).
+
+    The polygon is the dense open spline through the landmarks; the implicit
+    edge from the last dense vertex back to the first is the straight
+    'closing line' the reference draws explicitly.
+    """
+    dense = contour_spline(points, n=n_dense, close=False)
+    return polygon_fill(dense, height, width, include_boundary)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "n_per_edge", "include_boundary"))
+def rasterize_linear(points: jnp.ndarray, height: int, width: int,
+                     n_per_edge: int = 8, include_boundary: bool = True) -> jnp.ndarray:
+    """Straight-segment filled contour mask (reference `linear_reconstruction`)."""
+    dense = _densify_linear(points, n_per_edge)
+    return polygon_fill(dense, height, width, include_boundary)
+
+
+def rasterize_batch(points: jnp.ndarray, height: int, width: int,
+                    linear: bool = False, n_dense: int = 1024) -> jnp.ndarray:
+    """vmap rasterization over arbitrary leading axes. points: (..., K, 2)."""
+    lead = points.shape[:-2]
+    flat = points.reshape((-1,) + points.shape[-2:])
+    if linear:
+        fn = lambda p: rasterize_linear(p, height, width)
+    else:
+        fn = lambda p: rasterize_spline(p, height, width, n_dense=n_dense)
+    masks = jax.vmap(fn)(flat)
+    return masks.reshape(lead + (height, width))

@@ -1,0 +1,132 @@
+"""Interpolating parametric cubic splines on device.
+
+Capability parity with the reference's scipy `splprep(k=3, s=0)` usage
+(contour_uncertainty/utils/contour.py:9-25, utils/uncertainty_projection.py:32-38):
+a chord-length-parameterized, not-a-knot C^2 cubic through the K landmarks —
+which is exactly what FITPACK produces for s=0 (it drops the first/last
+interior knots). Redesigned for TPU: the K x K tridiagonal-ish system is
+solved as one small batched dense solve, and evaluation at S parameters is a
+vectorized searchsorted + Horner step that vmaps over (batch, samples).
+
+All functions are jit/vmap-safe with static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def chord_length_params(points: jnp.ndarray) -> jnp.ndarray:
+    """Normalized cumulative chord-length parameter u in [0, 1]. points: (K, 2)."""
+    seg = jnp.linalg.norm(jnp.diff(points, axis=0), axis=-1)
+    u = jnp.concatenate([jnp.zeros((1,), points.dtype), jnp.cumsum(seg)])
+    return u / u[-1]
+
+
+def _not_a_knot_system(u: jnp.ndarray, y: jnp.ndarray):
+    """Build the (K, K) not-a-knot system for second derivatives M of y(u).
+
+    Rows 1..K-2 are the C^2 continuity equations; rows 0 and K-1 impose
+    third-derivative continuity at the second and second-to-last nodes.
+    """
+    k = u.shape[0]
+    h = jnp.diff(u)  # (K-1,)
+    d = jnp.diff(y) / h  # slopes, (K-1,)
+
+    mat = jnp.zeros((k, k), u.dtype)
+    rhs = jnp.zeros((k,), u.dtype)
+
+    idx = jnp.arange(1, k - 1)
+    mat = mat.at[idx, idx - 1].set(h[:-1] / 6.0)
+    mat = mat.at[idx, idx].set((h[:-1] + h[1:]) / 3.0)
+    mat = mat.at[idx, idx + 1].set(h[1:] / 6.0)
+    rhs = rhs.at[idx].set(d[1:] - d[:-1])
+
+    # Not-a-knot: (M1 - M0)/h0 = (M2 - M1)/h1 and symmetric at the far end.
+    mat = mat.at[0, 0].set(1.0 / h[0])
+    mat = mat.at[0, 1].set(-(1.0 / h[0] + 1.0 / h[1]))
+    mat = mat.at[0, 2].set(1.0 / h[1])
+    mat = mat.at[k - 1, k - 3].set(1.0 / h[-2])
+    mat = mat.at[k - 1, k - 2].set(-(1.0 / h[-2] + 1.0 / h[-1]))
+    mat = mat.at[k - 1, k - 1].set(1.0 / h[-1])
+    return mat, rhs
+
+
+def spline_fit(points: jnp.ndarray):
+    """Fit x(u), y(u) not-a-knot cubics through (K, 2) landmarks.
+
+    Returns (u_knots (K,), points (K, 2), second_derivs (K, 2)).
+    """
+    u = chord_length_params(points)
+    mats_rhs = [_not_a_knot_system(u, points[:, i]) for i in range(2)]
+    mat = jnp.stack([m for m, _ in mats_rhs])
+    rhs = jnp.stack([r for _, r in mats_rhs])
+    m = jnp.linalg.solve(mat, rhs[..., None])[..., 0]  # (2, K)
+    return u, points, m.T
+
+
+def spline_eval(u_knots, points, m, t, derivative: int = 0):
+    """Evaluate the fitted spline (or its derivative) at parameters t (S,).
+
+    Returns (S, 2).
+    """
+    k = u_knots.shape[0]
+    idx = jnp.clip(jnp.searchsorted(u_knots, t, side="right") - 1, 0, k - 2)
+    u0 = u_knots[idx]
+    u1 = u_knots[idx + 1]
+    h = u1 - u0
+    a = (u1 - t) / h
+    b = (t - u0) / h
+    y0 = points[idx]  # (S, 2)
+    y1 = points[idx + 1]
+    m0 = m[idx]
+    m1 = m[idx + 1]
+    h_ = h[:, None]
+    a_ = a[:, None]
+    b_ = b[:, None]
+    if derivative == 0:
+        return (
+            a_ * y0
+            + b_ * y1
+            + ((a_ ** 3 - a_) * m0 + (b_ ** 3 - b_) * m1) * h_ ** 2 / 6.0
+        )
+    if derivative == 1:
+        return (
+            (y1 - y0) / h_
+            + (-(3.0 * a_ ** 2 - 1.0) * m0 + (3.0 * b_ ** 2 - 1.0) * m1) * h_ / 6.0
+        )
+    raise ValueError(f"derivative={derivative} not supported")
+
+
+@partial(jax.jit, static_argnames=("n", "close"))
+def contour_spline(points: jnp.ndarray, n: int = 1001, close: bool = False) -> jnp.ndarray:
+    """Dense resampling of the interpolating spline at n uniform parameters.
+
+    Mirrors reference utils/contour.py:9-25 (which appends the first point
+    when `close`). points: (K, 2) -> (n [+1], 2).
+    """
+    u, p, m = spline_fit(points)
+    t = jnp.linspace(0.0, 1.0, n, dtype=points.dtype)
+    dense = spline_eval(u, p, m, t)
+    if close:
+        dense = jnp.concatenate([dense, dense[:1]], axis=0)
+    return dense
+
+
+@partial(jax.jit, static_argnames=("n",))
+def contour_tangents(points: jnp.ndarray, n: int = 1000):
+    """Unit tangent of the spline at each landmark's parameter value.
+
+    Used by the uncertainty projection (reference
+    utils/uncertainty_projection.py:32-50, which looks up the nearest of n
+    uniform parameter samples rather than evaluating at u exactly — we
+    evaluate the derivative at the landmark parameters directly).
+
+    Returns (K, 2) unit tangents.
+    """
+    u, p, m = spline_fit(points)
+    der = spline_eval(u, p, m, u, derivative=1)
+    return der / jnp.linalg.norm(der, axis=-1, keepdims=True)

@@ -1,0 +1,127 @@
+"""DSNT fused-moment op vs an explicit numpy oracle.
+
+The oracle reimplements the reference math (task/regression/dsnt/utils.py:7-47)
+directly: materialized coordinate grids + explicit weighted central moments.
+Our op computes the same quantities from raw moments via one matmul.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contouring_uncertainty_tpu.ops import coords as C
+from contouring_uncertainty_tpu.ops import dsnt as D
+
+
+def _oracle_linspace(length):
+    first = -(length - 1.0) / length
+    return np.arange(length) * (2.0 / length) + first
+
+
+def _oracle_moments(probs):
+    """probs: (N, K, H, W) -> mean, var, cov via explicit grids."""
+    n, k, h, w = probs.shape
+    xs = _oracle_linspace(w)
+    ys = _oracle_linspace(h)
+    X, Y = np.meshgrid(xs, ys)
+    p = probs.reshape(n, k, -1)
+    x = p @ X.reshape(-1)
+    y = p @ Y.reshape(-1)
+    var_x = np.einsum("nkp,nkp->nk", p, (X.reshape(-1)[None, None] - x[..., None]) ** 2)
+    var_y = np.einsum("nkp,nkp->nk", p, (Y.reshape(-1)[None, None] - y[..., None]) ** 2)
+    cov = np.einsum(
+        "nkp,nkp->nk",
+        p,
+        (X.reshape(-1)[None, None] - x[..., None])
+        * (Y.reshape(-1)[None, None] - y[..., None]),
+    )
+    mean = np.stack([x, y], -1)
+    var = np.stack([var_x, var_y], -1)
+    return mean, var, cov
+
+
+def test_normalized_linspace_matches_reference_convention():
+    for length in (4, 16, 256):
+        np.testing.assert_allclose(
+            np.asarray(C.normalized_linspace(length)), _oracle_linspace(length), rtol=1e-6
+        )
+
+
+def test_pixel_coord_roundtrip():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, size=(5, 21, 2)).astype(np.float32)
+    pix = C.normalized_to_pixel(jnp.asarray(pts), (256, 256))
+    back = C.pixel_to_normalized(pix, (256, 256))
+    np.testing.assert_allclose(np.asarray(back), pts, atol=1e-5)
+    # Known anchor: normalized -1..1 cell centers -> pixel centers 0..L-1.
+    u = C.normalized_linspace(256)
+    px = C.normalized_to_pixel(jnp.stack([u, u], -1), (256, 256))
+    np.testing.assert_allclose(np.asarray(px[:, 0]), np.arange(256), atol=1e-4)
+
+
+def test_dsnt_moments_match_oracle():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 5, 32, 32)).astype(np.float32) * 3
+    probs = np.asarray(D.flat_softmax(jnp.asarray(logits)))
+    np.testing.assert_allclose(probs.reshape(2, 5, -1).sum(-1), 1.0, atol=1e-5)
+
+    mean, var, cov = D.dsnt_moments(jnp.asarray(probs))
+    o_mean, o_var, o_cov = _oracle_moments(probs)
+    np.testing.assert_allclose(np.asarray(mean), o_mean, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(var), o_var, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cov), o_cov, atol=2e-5)
+
+
+def test_dsnt_delta_heatmap_recovers_location():
+    # A delta at pixel (x0, y0) must produce exactly that pixel coordinate.
+    h = w = 64
+    logits = np.full((1, 1, h, w), -1e9, np.float32)
+    y0, x0 = 17, 42
+    logits[0, 0, y0, x0] = 0.0
+    _, mu, sigma = D.heatmaps_to_pixel_gaussians(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(mu[0, 0]), [x0, y0], atol=1e-3)
+    assert np.all(np.abs(np.asarray(sigma)) < 1e-2)
+
+
+def test_dsnt_gaussian_heatmap_recovers_variance():
+    # An isotropic Gaussian pmf has variance sigma^2 in pixel units.
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    sig = 5.0
+    x0, y0 = 60.0, 50.0
+    logp = -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig ** 2)
+    logits = logp[None, None].astype(np.float32)
+    _, mu, sigma = D.heatmaps_to_pixel_gaussians(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(mu[0, 0]), [x0, y0], atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(sigma[0, 0]), np.diag([sig ** 2, sig ** 2]), atol=0.05
+    )
+
+
+def test_gaussian_nll_matches_numpy():
+    rng = np.random.default_rng(2)
+    mu = rng.normal(size=(7, 2))
+    y = rng.normal(size=(7, 2))
+    a = rng.normal(size=(7, 2, 2))
+    cov = a @ a.transpose(0, 2, 1) + 0.5 * np.eye(2)
+    loss, logdet, maha = D.gaussian_nll(jnp.asarray(mu), jnp.asarray(cov), jnp.asarray(y))
+    for i in range(7):
+        d = (mu[i] - y[i])[:, None]
+        ref_maha = float(d.T @ np.linalg.inv(cov[i]) @ d)
+        ref_logdet = float(np.log(np.linalg.det(cov[i])))
+        np.testing.assert_allclose(float(maha[i]), ref_maha, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(logdet[i]), ref_logdet, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(loss[i]), ref_logdet + ref_maha, rtol=1e-4, atol=1e-4)
+
+
+def test_dsnt_is_differentiable():
+    def f(logits):
+        _, mu, sigma = D.heatmaps_to_pixel_gaussians(logits)
+        target = jnp.ones_like(mu) * 10.0
+        loss, _, _ = D.gaussian_nll(mu, sigma, target)
+        return loss.mean()
+
+    logits = jnp.asarray(np.random.default_rng(3).normal(size=(2, 3, 16, 16)), jnp.float32)
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
