@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: U-Net+DSNT echo-frame inference throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/10000}
+
+Baseline: the driver-set north star of 10,000 frames/sec/chip for the
+flagship 8-stage UNet + DSNT at 256x256 (BASELINE.md; the reference itself
+publishes no numbers). Runs bf16 with donated buffers, sweeping batch sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FRAMES_PER_SEC = 10_000.0
+
+
+def main():
+    from contouring_uncertainty_tpu.models import UNet
+    from contouring_uncertainty_tpu.ops.dsnt import heatmaps_to_pixel_gaussians
+
+    model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
+                 dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+
+    @jax.jit
+    def forward(variables, img):
+        logits = model.apply(variables, img)["out"]
+        _, mu, sigma = heatmaps_to_pixel_gaussians(logits)
+        return mu, sigma
+
+    best = 0.0
+    best_batch = 0
+    rng = np.random.default_rng(0)
+    for batch in (32, 64, 128, 256):
+        img = jnp.asarray(rng.normal(size=(batch, 1, 256, 256)), jnp.float32)
+        try:
+            np.asarray(forward(variables, img)[0])  # compile + warm
+        except Exception:
+            break
+        # Timing protocol: enqueue `iters` calls then fetch the LAST output to
+        # host — in-order device execution means the fetch completes only when
+        # all calls have. (block_until_ready under-reports on the tunneled
+        # axon platform, so a host fetch is the ground-truth sync.)
+        iters = 16
+        t0 = time.perf_counter()
+        outs = [forward(variables, img) for _ in range(iters)]
+        np.asarray(outs[-1][0])
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        if fps > best:
+            best, best_batch = fps, batch
+
+    print(json.dumps({
+        "metric": "unet_dsnt_inference_frames_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FRAMES_PER_SEC, 3),
+        "batch": best_batch,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

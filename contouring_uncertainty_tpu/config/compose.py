@@ -1,0 +1,108 @@
+"""YAML config groups + dotted overrides (Hydra-compatible CLI surface)."""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+CONFIG_DIR = Path(__file__).parent / "yaml"
+
+_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}")
+
+
+def _resolve_env(value: Any) -> Any:
+    if isinstance(value, str):
+        def repl(match):
+            return os.environ.get(match.group(1), match.group(2) or "")
+
+        resolved = _ENV_RE.sub(repl, value)
+        return resolved
+    return value
+
+
+def deep_merge(base: Dict, override: Dict) -> Dict:
+    out = dict(base)
+    for key, value in override.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = deep_merge(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
+def _load_yaml(path: Path) -> Dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def _set_dotted(cfg: Dict, dotted: str, value: Any):
+    keys = dotted.split(".")
+    node = cfg
+    for key in keys[:-1]:
+        node = node.setdefault(key, {})
+        if not isinstance(node, dict):
+            raise ValueError(f"Cannot override through non-dict at {key} in {dotted}")
+    node[keys[-1]] = value
+
+
+def _parse_value(raw: str) -> Any:
+    return yaml.safe_load(raw)
+
+
+def compose(overrides: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR) -> Dict:
+    """Compose the full config from default.yaml + group selections + overrides.
+
+    `group=option` picks `config_dir/group/option.yaml` when that file exists
+    (groups: data, task, task/model); anything else is a dotted override.
+    """
+    overrides = list(overrides or [])
+    cfg = _load_yaml(config_dir / "default.yaml")
+
+    # Two passes: group selections first (they provide defaults), then dotted
+    # overrides (they win).
+    group_sel: Dict[str, str] = {}
+    dotted: List[str] = []
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"Override '{ov}' must look like key=value")
+        key, value = ov.split("=", 1)
+        option_file = config_dir / key / f"{value}.yaml"
+        if option_file.exists():
+            group_sel[key] = value
+        else:
+            dotted.append(ov)
+
+    # Default group selections declared in default.yaml's `defaults` list.
+    for entry in cfg.pop("defaults", []):
+        for group, option in entry.items():
+            group_sel.setdefault(group, option)
+
+    for group in sorted(group_sel, key=lambda g: g.count("/")):
+        option = group_sel[group]
+        node = _load_yaml(config_dir / group / f"{option}.yaml")
+        node.setdefault("name", option)
+        target = cfg
+        *parents, leaf = group.split("/")
+        for p in parents:
+            target = target.setdefault(p, {})
+        target[leaf] = deep_merge(target.get(leaf, {}), node)
+
+    for ov in dotted:
+        key, value = ov.split("=", 1)
+        _set_dotted(cfg, key, _parse_value(value))
+
+    cfg = _resolve_tree(cfg)
+    cfg["choices"] = group_sel
+    return cfg
+
+
+def _resolve_tree(node: Any) -> Any:
+    if isinstance(node, dict):
+        return {k: _resolve_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve_tree(v) for v in node]
+    return _resolve_env(node)

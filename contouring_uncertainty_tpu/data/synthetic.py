@@ -32,10 +32,11 @@ def lv_contour_points(
     Points run base1 -> apex -> base2 (the reference's landmark ordering from
     extract_points.py: base, side wall, apex, other wall, base).
     """
-    cx = size / 2 + rng.uniform(-15, 15)
-    base_y = size * 0.75 + rng.uniform(-15, 15)
-    apex_y = size * 0.2 + rng.uniform(-10, 15)
-    half_w = size * 0.18 + rng.uniform(-8, 12)
+    s = size / 256.0
+    cx = size / 2 + rng.uniform(-15, 15) * s
+    base_y = size * 0.75 + rng.uniform(-15, 15) * s
+    apex_y = size * 0.2 + rng.uniform(-10, 15) * s
+    half_w = size * 0.18 + rng.uniform(-8, 12) * s
     tilt = rng.uniform(-0.15, 0.15)
 
     # Angles from 0 (base right) through pi (base left) over the half-ellipse.
@@ -44,7 +45,7 @@ def lv_contour_points(
     height = base_y - apex_y
     y = base_y - height * np.sin(t) ** 0.9
     # Mild wall irregularity.
-    wobble = rng.normal(scale=1.5, size=k)
+    wobble = rng.normal(scale=1.5 * s, size=k)
     x = x + wobble * np.sin(t)
     # Tilt around the base center.
     xr = cx + (x - cx) * np.cos(tilt) - (y - base_y) * np.sin(tilt)
@@ -69,10 +70,15 @@ def make_sample(
     contour = lv_contour_points(rng, k, size)
     lv = _fill_poly(contour, size)
 
-    # Myocardium: dilated LV ring (coarse outward offset of the contour).
+    # Myocardium: dilated LV ring (coarse outward offset of the contour),
+    # clipped above the base line so the LV base borders "atrium" (background)
+    # like in CAMUS — endo_base detection relies on that frontier.
     center = contour.mean(axis=0)
     ring_pts = center + (contour - center) * 1.25
     myo = _fill_poly(ring_pts, size) & ~lv
+    base_y = min(contour[0, 1], contour[-1, 1])
+    yy_grid = np.arange(size)[:, None]
+    myo &= yy_grid <= base_y
 
     gt = np.zeros((size, size), np.uint8)
     gt[myo] = int(Label.MYO)

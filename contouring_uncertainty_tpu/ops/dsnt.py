@@ -123,8 +123,13 @@ def heatmaps_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
     mean, var, cov = dsnt_moments(probs)
     mu = normalized_to_pixel(mean, (height, width))
     scale = (width / 2.0) ** 2
-    pixel_var = var * scale
+    # Positive-definiteness guard (the reference loss NaNs when a heatmap
+    # collapses to a delta and det(Sigma) <= 0 numerically): floor the
+    # variances at ~a hundredth of a pixel^2 and clamp |corr| < 1.
+    pixel_var = jnp.maximum(var * scale, 1e-2)
     pixel_cov = jnp.where(use_covar, cov * scale, jnp.zeros_like(cov))
+    max_cov = 0.999 * jnp.sqrt(pixel_var[..., 0] * pixel_var[..., 1])
+    pixel_cov = jnp.clip(pixel_cov, -max_cov, max_cov)
     sigma = build_cov_matrix(pixel_var, pixel_cov)
     return probs, mu, sigma
 

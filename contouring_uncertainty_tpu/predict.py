@@ -1,0 +1,205 @@
+"""Prediction / uncertainty-propagation pipeline (the reference's Stack 2).
+
+Capability parity with ContourUncertaintyTask.predict_step +
+AleatoricUncertaintyTask._predict_step
+(task/regression/contour_uncertainty.py:71-130, task/regression/aleatoric.py:80-135):
+
+per view:  T_e epistemic forwards -> per-point (mu, Sigma) -> PSM contour
+sampling (T_a per forward) -> aleatoric/epistemic covariance fusion ->
+posterior stats from the sample population -> mask rasterization of every
+sample -> uncertainty map + entropy map -> point/instant uncertainty scalars
+-> BatchResult.
+
+TPU-first: everything between the forward pass and the BatchResult
+(sampling, N*T_e*T_a rasterizations, umaps, entropy, eigendecompositions,
+projections) is one jitted device computation per view; the reference ran all
+of it as host-side Python loops (SURVEY Stack 2 'HOT' notes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contouring_uncertainty_tpu.data.config import BatchResult, Label, Tags
+from contouring_uncertainty_tpu.distributions.linalg import det2x2, eigh2x2
+from contouring_uncertainty_tpu.ops.rasterize import rasterize_batch
+from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler, fit_shape_prior
+from contouring_uncertainty_tpu.sampler.prior import ShapePrior, load_prior, save_prior
+from contouring_uncertainty_tpu.utils.projection import projected_uncertainty_value
+from contouring_uncertainty_tpu.utils.umap import uncertainty_map
+
+
+def get_or_fit_prior(data, path: Optional[str]) -> ShapePrior:
+    """Load a shape prior, or fit one from the training contours and cache it
+    (the reference ships pre-fitted .npy priors; psm.py:453-554 generates them)."""
+    if path:
+        p = Path(path)
+        if p.exists():
+            return load_prior(p)
+    train = data.train_arrays("train")
+    prior = fit_shape_prior(np.asarray(train[Tags.contour]))
+    if path:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        save_prior(p, prior)
+    return prior
+
+
+def fuse_epistemic_aleatoric(mu: jnp.ndarray, cov: jnp.ndarray):
+    """(N, T_e, K, 2) means + (N, T_e, K, 2, 2) covs -> fused (N, K, 2)/(N, K, 2, 2).
+
+    cov = mean_t(cov) + cov_t(mu)  (aleatoric + epistemic, aleatoric.py:90-94).
+    """
+    mu_mean = mu.mean(axis=1)
+    cov_al = cov.mean(axis=1)
+    d = mu - mu_mean[:, None]
+    cov_ep = jnp.mean(d[..., :, None] * d[..., None, :], axis=1)
+    return mu_mean, cov_al + cov_ep
+
+
+def population_posterior(samples: jnp.ndarray):
+    """Sample-population stats: (N, T_e, T_a, K, 2) -> post_mu (N,K,2), post_cov (N,K,2,2)
+    (aleatoric.py:96-108: per-T_e sample covariances + epistemic spread)."""
+    post_mu_te = samples.mean(axis=2)  # (N, T_e, K, 2)
+    d = samples - post_mu_te[:, :, None]
+    t_a = samples.shape[2]
+    denom = jnp.maximum(t_a - 1, 1)
+    post_cov_te = jnp.sum(d[..., :, None] * d[..., None, :], axis=2) / denom
+    post_mu = post_mu_te.mean(axis=1)
+    dd = post_mu_te - post_mu[:, None]
+    post_cov_ep = jnp.mean(dd[..., :, None] * dd[..., None, :], axis=1)
+    return post_mu, post_cov_te.mean(axis=1) + post_cov_ep
+
+
+def sample_entropy_map(pred_samples: jnp.ndarray) -> jnp.ndarray:
+    """Binary entropy (base 2) of the sample-mask population
+    (reference uncertainty.py:106-133). pred_samples: (N, T_e, T_a, H, W)."""
+    p = pred_samples.mean(axis=(1, 2))
+    ent = -(p * jnp.log2(p + 1e-12) + (1 - p) * jnp.log2(1 - p + 1e-12))
+    return jnp.where(jnp.isfinite(ent), ent, 0.0)
+
+
+def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred):
+    """Scalar uncertainty derivations (contour_uncertainty.py:77-128), on device."""
+    def cov_scalars(c, prefix):
+        vals, _ = eigh2x2(c)
+        sq = jnp.sqrt(jnp.maximum(vals, 0.0))
+        return {
+            f"{prefix}cov_xx": jnp.sqrt(c[..., 0, 0]),
+            f"{prefix}cov_yy": jnp.sqrt(c[..., 1, 1]),
+            f"{prefix}cov_det": jnp.maximum(det2x2(c), 0.0) ** 0.25,
+            f"{prefix}cov_eigval_sum": sq.sum(-1),
+        }
+
+    point_u = cov_scalars(cov, "")
+    if post_cov is not None:
+        point_u.update(cov_scalars(post_cov, "post_"))
+
+    vals, _ = eigh2x2(cov)
+    sq = jnp.sqrt(jnp.maximum(vals, 0.0))
+    mask_area = jnp.sum(pred != int(Label.BG), axis=(-2, -1))
+    instant_u = {
+        "cov_det_mean": point_u["cov_det"].mean(-1),
+        "cov_eigenvalue_mean": sq.mean(axis=(-1, -2)),
+        "cov_projection": jax.vmap(projected_uncertainty_value)(mu, cov),
+        "umap_mean": jnp.sum(umap, axis=(-2, -1)) / mask_area,
+    }
+    if entropy is not None:
+        instant_u["entropy_mean"] = jnp.sum(entropy, axis=(-2, -1)) / mask_area
+    return point_u, instant_u
+
+
+class AleatoricPredictor:
+    """Jitted per-view uncertainty propagation for contour tasks."""
+
+    def __init__(self, task, model, sampler: PosteriorShapeModelSampler,
+                 t_a: Optional[int] = None):
+        self.task = task
+        self.model = model
+        self.sampler = sampler
+        self.t_a = t_a or task.t_a
+        self._jitted = {}
+
+    def _view_fn(self, variables, img, key):
+        h, w = img.shape[-2:]
+        mu_te, cov_te = self.task.predict(self.model, variables, img, rng=key)
+        samples = self.sampler.sample_batch(
+            jax.random.fold_in(key, 1), mu_te, cov_te, n=self.t_a
+        )  # (N, T_e, T_a, K, 2)
+        mu, cov = fuse_epistemic_aleatoric(mu_te, cov_te)
+        post_mu, post_cov = population_posterior(samples)
+
+        pred_samples = rasterize_batch(samples, h, w)  # (N, T_e, T_a, H, W)
+        pred = (pred_samples.mean(axis=(1, 2)) > 0.5).astype(jnp.int32)
+        umap = jax.vmap(lambda m, c: uncertainty_map(m, c, (h, w)))(mu, cov)
+        entropy = sample_entropy_map(pred_samples)
+        point_u, instant_u = point_instant_uncertainty(
+            mu, cov, post_cov, umap, entropy, pred
+        )
+        return {
+            "mu": mu, "cov": cov, "post_mu": post_mu, "post_cov": post_cov,
+            "contour_samples": samples, "pred_samples": pred_samples,
+            "pred": pred, "uncertainty_map": umap, "entropy_map": entropy,
+            "point_uncertainty": point_u, "instant_uncertainty": instant_u,
+        }
+
+    def __call__(self, variables, img: jnp.ndarray, key) -> Dict:
+        n = img.shape[0]
+        if n not in self._jitted:
+            self._jitted[n] = jax.jit(self._view_fn)
+        return self._jitted[n](variables, img, key)
+
+
+def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchResult]:
+    """Predict every view of the split and assemble BatchResults
+    (then results processors — results/__init__.py — consume them)."""
+    model = task.build_model()
+    prior = get_or_fit_prior(data, cfg.get("task", {}).get("psm_path"))
+    sampler = PosteriorShapeModelSampler(prior)
+    predictor = AleatoricPredictor(task, model, sampler)
+    key = jax.random.key(cfg.get("seed", 10))
+
+    results = []
+    for vi, view in enumerate(data.predict_views(split)):
+        img = jnp.asarray(view[Tags.img])
+        out = predictor(variables, img, jax.random.fold_in(key, vi))
+        out = jax.tree.map(np.asarray, out)
+        res = BatchResult(
+            id=view[Tags.id],
+            labels=task.data_params.labels,
+            img=np.asarray(view[Tags.img]),
+            gt=np.asarray(view[Tags.gt]) if view.get(Tags.gt) is not None else None,
+            contour=np.asarray(view[Tags.contour]) if view.get(Tags.contour) is not None else None,
+            pred=out["pred"],
+            mu=out["mu"],
+            mode=out["mu"],
+            cov=out["cov"],
+            post_mu=out["post_mu"],
+            post_cov=out["post_cov"],
+            contour_samples=out["contour_samples"],
+            pred_samples=out["pred_samples"],
+            uncertainty_map=out["uncertainty_map"],
+            entropy_map=out["entropy_map"],
+            point_uncertainty=out["point_uncertainty"],
+            instant_uncertainty=out["instant_uncertainty"],
+            voxelspacing=view.get(Tags.voxelspacing),
+            instants=view.get(Tags.instants),
+        )
+        results.append(res)
+
+    if cfg.get("results_dir") or cfg.get("save_path"):
+        out_dir = Path(cfg.get("results_dir") or Path(cfg["save_path"]) / "results")
+        try:
+            from contouring_uncertainty_tpu.results import run_processors
+
+            run_processors(results, out_dir, cfg)
+        except ImportError:
+            pass
+    return results

@@ -1,0 +1,79 @@
+"""Experiment driver: compose config -> data -> task -> trainer -> predict.
+
+Capability parity with the reference's runner stack (runner.py:10-57 +
+vital/vital/runner.py:30-216): same CLI surface
+(`python runner.py data=camus-cont task=dsnt-al task.model.drop_block=True
+train=False ...`), deterministic experiment naming, auto weight loading for
+eval-only runs, train -> best-ckpt -> test -> predict sequencing.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from contouring_uncertainty_tpu.config import compose
+from contouring_uncertainty_tpu.factory import (
+    build_data,
+    build_task,
+    build_trainer,
+    experiment_name,
+)
+from contouring_uncertainty_tpu.train.checkpoint import restore_checkpoint
+
+
+def run(overrides: Optional[List[str]] = None) -> Dict:
+    cfg = compose(overrides)
+    data = build_data(cfg)
+    task = build_task(cfg, data.data_params)
+    trainer = build_trainer(cfg, task)
+
+    result: Dict = {"cfg": cfg}
+    variables = None
+
+    if cfg.get("train", True):
+        train_arrays = data.train_arrays("train")
+        val_arrays = data.train_arrays("val")
+        variables, ckpt_path = trainer.fit(train_arrays, val_arrays)
+        result["ckpt_path"] = str(ckpt_path)
+        result["history"] = trainer.history
+    else:
+        ckpt = cfg.get("weights") or cfg.get("ckpt")
+        if not ckpt:
+            ckpt = Path(cfg.get("save_path", "outputs")) / str(cfg.get("seed", 10)) / (
+                experiment_name(cfg) + ".ckpt"
+            )
+        model = task.build_model()
+        import jax
+        import jax.numpy as jnp
+
+        c, h, w = task.data_params.in_shape
+        template = jax.eval_shape(
+            lambda: jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
+        )
+        init = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
+        variables = restore_checkpoint(ckpt, {"params": init["params"]})
+        result["ckpt_path"] = str(ckpt)
+
+    if cfg.get("predict", True) and variables is not None:
+        from contouring_uncertainty_tpu.predict import run_predict
+
+        results = run_predict(task, variables, data, cfg)
+        result["predict"] = results
+    return result
+
+
+def main():
+    result = run(sys.argv[1:])
+    if "history" in result and result["history"]:
+        last = result["history"][-1]
+        print({k: round(v, 4) for k, v in last.items() if isinstance(v, float)})
+    if "ckpt_path" in result:
+        print(f"checkpoint: {result['ckpt_path']}")
+
+
+if __name__ == "__main__":
+    main()

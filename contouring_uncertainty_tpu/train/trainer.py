@@ -1,0 +1,190 @@
+"""Trainer: jitted train/eval steps over an explicit TrainState on a device mesh.
+
+Replaces the reference's PyTorch-Lightning Trainer + VitalSystem
+(vital/vital/runner.py:94-145, vital/vital/system.py:17-137) with a compact
+TPU-native loop:
+
+- one jitted `train_step` with donated state (params stay on device, grads
+  averaged across the mesh's data axis automatically by XLA's partitioner);
+- host-side epoch loop feeding sharded batches and on-device augmentation;
+- early stopping on val/loss (patience, matching config/default.yaml:42-44)
+  and deterministic best-checkpoint naming
+  `{save_path}/{seed}/{name}.ckpt` (vital/vital/runner.py:128-136);
+- CSV metric logging (stand-in for the Comet/TensorBoard loggers).
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from contouring_uncertainty_tpu.data import augment as aug
+from contouring_uncertainty_tpu.data.config import Tags
+from contouring_uncertainty_tpu.parallel import make_mesh, replicate, shard_batch
+from contouring_uncertainty_tpu.train.checkpoint import save_checkpoint
+
+
+@dataclass
+class TrainerConfig:
+    batch_size: int = 32
+    max_epochs: int = 1000
+    patience: int = 100
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    seed: int = 10
+    save_path: str = "outputs"
+    name: str = "run"
+    fast_dev_run: int = 0  # >0: cap batches/epoch and run 1 epoch
+    augment: bool = True
+    log_every: int = 50
+    min_epochs: int = 1
+
+
+class Trainer:
+    def __init__(self, task, config: TrainerConfig, mesh=None):
+        self.task = task
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = task.build_model()
+        self.history: list = []
+        self._metrics_file: Optional[Path] = None
+
+    # ------------------------------------------------------------------- setup
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        c, h, w = self.task.data_params.in_shape
+        dummy = jnp.zeros((2, c, h, w), jnp.float32)
+        variables = jax.jit(self.model.init)(rng, dummy)
+        tx = optax.adamw(self.config.lr, weight_decay=self.config.weight_decay)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=tx
+        )
+        return replicate(state, self.mesh)
+
+    def _build_steps(self):
+        task, model = self.task, self.model
+
+        def train_step(state: TrainState, batch, rng):
+            def loss_fn(params):
+                return task.loss(model, {"params": params}, batch, rng, train=True)
+
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, logs
+
+        def eval_step(state: TrainState, batch):
+            return task.val_metrics(model, {"params": state.params}, batch)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # --------------------------------------------------------------------- fit
+
+    def fit(self, train_arrays: Dict[str, np.ndarray], val_arrays: Dict[str, np.ndarray]):
+        cfg = self.config
+        rng = jax.random.key(cfg.seed)
+        np_rng = np.random.default_rng(cfg.seed)
+        state = self.init_state(rng)
+        self._build_steps()
+
+        run_dir = Path(cfg.save_path) / str(cfg.seed)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        self._metrics_file = run_dir / f"{cfg.name}_metrics.csv"
+
+        best_val = np.inf
+        best_params = state.params
+        best_epoch = -1
+        epochs_since_best = 0
+        max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
+        step = 0
+
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            train_logs = []
+            for bi, batch in enumerate(_iterate(train_arrays, cfg.batch_size, np_rng)):
+                if cfg.fast_dev_run and bi >= cfg.fast_dev_run:
+                    break
+                batch = shard_batch(batch, self.mesh)
+                if cfg.augment:
+                    params = aug.sample_params(
+                        jax.random.fold_in(rng, 2 * step), len(batch[Tags.img])
+                    )
+                    batch = aug.apply(batch, params)
+                state, logs = self._train_step(
+                    state, batch, jax.random.fold_in(rng, 2 * step + 1)
+                )
+                train_logs.append(logs)
+                step += 1
+
+            val_logs = []
+            for bi, batch in enumerate(
+                _iterate(val_arrays, cfg.batch_size, np_rng, shuffle=False, drop_last=False)
+            ):
+                if cfg.fast_dev_run and bi >= cfg.fast_dev_run:
+                    break
+                val_logs.append(self._eval_step(state, shard_batch(batch, self.mesh)))
+
+            row = {"epoch": epoch, "time": time.time() - t0}
+            row.update({f"train/{k}": float(np.mean([float(l[k]) for l in train_logs]))
+                        for k in train_logs[0]})
+            row.update({f"val/{k}": float(np.mean([float(l[k]) for l in val_logs]))
+                        for k in val_logs[0]})
+            self.history.append(row)
+            self._log_row(row)
+
+            val_loss = row["val/loss"]
+            if np.isfinite(val_loss) and val_loss < best_val:
+                best_val = val_loss
+                # Real copy: state is donated into train_step, so aliasing
+                # state.params would leave deleted buffers behind.
+                best_params = jax.tree.map(jnp.copy, state.params)
+                best_epoch = epoch
+                epochs_since_best = 0
+            else:
+                epochs_since_best += 1
+            if epochs_since_best > cfg.patience and epoch + 1 >= cfg.min_epochs:
+                break
+
+        ckpt_path = run_dir / f"{cfg.name}.ckpt"
+        save_checkpoint(
+            ckpt_path,
+            {"params": best_params},
+            meta={
+                "task_name": self.task.task_name,
+                "best_epoch": best_epoch,
+                "best_val_loss": float(best_val),
+                "seed": cfg.seed,
+            },
+        )
+        (run_dir / "train_complete").write_text("1")
+        return {"params": best_params}, ckpt_path
+
+    def _log_row(self, row: Dict[str, Any]):
+        new = not self._metrics_file.exists()
+        with open(self._metrics_file, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(row))
+            if new:
+                writer.writeheader()
+            writer.writerow(row)
+
+
+def _iterate(arrays, batch_size, rng, shuffle=True, drop_last=True):
+    n = len(arrays[Tags.img])
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    end = n - (n % batch_size) if drop_last and n >= batch_size else n
+    for start in range(0, end, batch_size):
+        idx = order[start:start + batch_size]
+        yield {
+            k: v[idx]
+            for k, v in arrays.items()
+            if isinstance(v, np.ndarray) and v.dtype != object and v.dtype.kind != "U"
+        }

@@ -1,0 +1,51 @@
+"""Config composition + CLI runner surface (reference Hydra CLI parity)."""
+
+import numpy as np
+
+from contouring_uncertainty_tpu.config import compose
+
+
+def test_compose_defaults():
+    cfg = compose([])
+    assert cfg["task"]["name"] == "dsnt-al"
+    assert cfg["data"]["name"] == "camus-cont"
+    assert cfg["task"]["model"]["name"] == "unet2"
+    assert cfg["task"]["model"]["strides"][1] == [2, 2]
+    assert cfg["seed"] == 10
+
+
+def test_compose_group_selection_and_overrides():
+    cfg = compose([
+        "data=synthetic",
+        "task.model.drop_block=True",
+        "seed=7",
+        "trainer.fast_dev_run=2",
+        "task.t_e=10",
+    ])
+    assert cfg["data"]["name"] == "synthetic"
+    assert cfg["task"]["model"]["drop_block"] is True
+    assert cfg["seed"] == 7
+    assert cfg["trainer"]["fast_dev_run"] == 2
+    assert cfg["task"]["t_e"] == 10
+    assert cfg["choices"]["data"] == "synthetic"
+
+
+def test_runner_fast_dev_run(tmp_path):
+    from contouring_uncertainty_tpu.runner import run
+
+    result = run([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task.model.kernels=[[3,3],[3,3],[3,3],[3,3]]",
+        "task.model.strides=[[1,1],[2,2],[2,2],[2,2]]",
+        "task.model.dtype=float32",
+        "trainer.fast_dev_run=2",
+        "trainer.batch_size=4",
+        f"save_path={tmp_path}/out",
+        "predict=False",
+    ])
+    assert "ckpt_path" in result
+    assert len(result["history"]) == 1
+    assert np.isfinite(result["history"][0]["train/loss"])

@@ -1,0 +1,91 @@
+"""Predict pipeline: full uncertainty propagation on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contouring_uncertainty_tpu.data.camus import CamusContourData
+from contouring_uncertainty_tpu.data.config import Tags
+from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+from contouring_uncertainty_tpu.predict import (
+    AleatoricPredictor,
+    fuse_epistemic_aleatoric,
+    population_posterior,
+    run_predict,
+    sample_entropy_map,
+)
+from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler, fit_shape_prior
+from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+SMALL_MODEL = dict(kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3)
+
+
+def test_fuse_epistemic_aleatoric_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(size=(2, 3, 5, 2))
+    a = rng.normal(size=(2, 3, 5, 2, 2))
+    cov = a @ a.swapaxes(-1, -2)
+    mu_f, cov_f = fuse_epistemic_aleatoric(jnp.asarray(mu), jnp.asarray(cov))
+    ref_mu = mu.mean(1)
+    d = mu - ref_mu[:, None]
+    ref_cov = cov.mean(1) + np.mean(d[..., :, None] * d[..., None, :], axis=1)
+    np.testing.assert_allclose(np.asarray(mu_f), ref_mu, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cov_f), ref_cov, atol=1e-4)
+
+
+def test_population_posterior_recovers_moments():
+    rng = np.random.default_rng(1)
+    true_mu = rng.normal(size=(1, 1, 4, 2)) * 5
+    samples = true_mu[:, :, None] + rng.normal(size=(1, 1, 5000, 4, 2)) * 2.0
+    post_mu, post_cov = population_posterior(jnp.asarray(samples))
+    np.testing.assert_allclose(np.asarray(post_mu), true_mu[:, 0], atol=0.15)
+    np.testing.assert_allclose(
+        np.asarray(post_cov), np.tile(np.eye(2) * 4.0, (1, 4, 1, 1)), atol=0.3
+    )
+
+
+def test_sample_entropy_map():
+    samples = jnp.zeros((1, 1, 4, 8, 8)).at[:, :, :2, 2:4, 2:4].set(1.0)
+    ent = np.asarray(sample_entropy_map(samples))
+    assert ent.shape == (1, 8, 8)
+    np.testing.assert_allclose(ent[0, 2, 2], 1.0, atol=1e-5)  # p=0.5 -> 1 bit
+    np.testing.assert_allclose(ent[0, 0, 0], 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("t_e", [1, 3])
+def test_full_predict_pipeline(tmp_path, t_e):
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=5)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTAleatoric(
+        data_params=data.data_params, t_a=4, t_e=t_e,
+        model_kwargs={**SMALL_MODEL, "drop_block": t_e > 1},
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")}}
+    results = run_predict(task, variables, data, cfg)
+    assert len(results) >= 1
+    res = results[0]
+    n = res.img.shape[0]
+    k = 21
+    assert res.mu.shape == (n, k, 2)
+    assert res.cov.shape == (n, k, 2, 2)
+    assert res.contour_samples.shape == (n, t_e, 4, k, 2)
+    assert res.pred_samples.shape == (n, t_e, 4, 64, 64)
+    assert res.pred.shape == (n, 64, 64)
+    assert res.uncertainty_map.shape == (n, 64, 64)
+    assert res.entropy_map.shape == (n, 64, 64)
+    assert set(res.point_uncertainty) >= {"cov_xx", "cov_yy", "cov_det", "cov_eigval_sum",
+                                          "post_cov_xx", "post_cov_det"}
+    assert set(res.instant_uncertainty) >= {"cov_det_mean", "cov_eigenvalue_mean",
+                                            "cov_projection", "umap_mean", "entropy_mean"}
+    for v in res.instant_uncertainty.values():
+        assert v.shape == (n,)
+        assert np.isfinite(v).all()
+    # Prior was cached.
+    assert (tmp_path / "prior.npz").exists()
+    if t_e > 1:
+        # MC-dropout forwards must actually differ.
+        assert res.cov[:, :, 0, 0].std() > 0

@@ -1,0 +1,136 @@
+"""PSM sampler: deterministic math vs numpy oracles + statistical shape tests.
+
+Oracle pattern follows the reference's own approach (scipy/numpy checks of
+posteriorshapemodel.py math); statistical checks assert the sampled contour
+population respects the prediction and the shape prior.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contouring_uncertainty_tpu.sampler import (
+    NaiveSampler,
+    PosteriorShapeModelSampler,
+    fit_shape_prior,
+)
+from contouring_uncertainty_tpu.sampler import prior as prior_lib
+from contouring_uncertainty_tpu.sampler.psm import get_points_order, merge_priors
+
+
+def _train_contours(n=300, k=21, seed=0):
+    from contouring_uncertainty_tpu.data.synthetic import lv_contour_points
+
+    rng = np.random.default_rng(seed)
+    return np.stack([lv_contour_points(rng, k=k, size=256) for _ in range(n)])
+
+
+def test_get_points_order_matches_reference_algorithm():
+    initial, order = get_points_order(21, levels=3)
+    assert initial == [0, 10, 20]
+    # Level 1 bisects [0,10] and [10,20] (rounding toward the base).
+    assert order[0] == [5, 15]
+    flat = initial + [p for lvl in order for p in lvl]
+    assert len(flat) == len(set(flat))  # no duplicates
+    assert all(0 <= p < 21 for p in flat)
+
+
+def test_posterior_shape_model_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    p = 10
+    q = rng.normal(size=(p, p)) * 0.5
+    mu = rng.normal(size=(p,))
+    s_g = rng.normal(size=(p,))
+    mask = np.zeros(p)
+    mask[[0, 1, 4, 5]] = 1.0
+    sigma2 = 0.7
+
+    mu_c, cov_c = prior_lib.posterior_shape_model(
+        jnp.asarray(s_g * mask), jnp.asarray(mask), jnp.asarray(mu), jnp.asarray(q), sigma2
+    )
+    # Oracle: reference formulation with masked matrices (posteriorshapemodel.py:49-81).
+    q_g = q * mask[:, None]
+    a_inv = np.linalg.inv(q_g.T @ q_g + sigma2 * np.eye(p))
+    ref_mu = mu + q @ a_inv @ q_g.T @ ((s_g * mask) - mu * mask)
+    ref_cov = sigma2 * q @ a_inv @ q.T
+    np.testing.assert_allclose(np.asarray(mu_c), ref_mu, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cov_c), ref_cov, atol=2e-4)
+
+
+def test_refit_q_reconstructs_noncentered_covariance():
+    contours = _train_contours(200)
+    prior = fit_shape_prior(contours)
+    rng = np.random.default_rng(2)
+    pred = contours[0] + rng.normal(scale=2.0, size=contours[0].shape)
+    pred_t = np.asarray(prior_lib.transform(prior, jnp.asarray(pred, jnp.float32))).reshape(-1)
+    _, q = prior_lib.refit_q(prior, jnp.asarray(pred_t))
+    # Q Q^T must equal the covariance of X_train about the predicted mean.
+    x = contours.reshape(len(contours), -1)
+    xt = (x - np.asarray(prior.train_mean)) / np.asarray(prior.train_scale)
+    diff = xt - pred_t
+    ref_cov = diff.T @ diff / len(xt)
+    got = np.asarray(q @ q.T)
+    np.testing.assert_allclose(got, ref_cov, atol=5e-2, rtol=1e-2)
+
+
+def test_merge_priors_is_gaussian_product():
+    rng = np.random.default_rng(3)
+    a1 = rng.normal(size=(5, 2, 2))
+    cov1 = a1 @ a1.transpose(0, 2, 1) + np.eye(2)
+    a2 = rng.normal(size=(5, 2, 2))
+    cov2 = a2 @ a2.transpose(0, 2, 1) + np.eye(2)
+    mu1 = rng.normal(size=(5, 2))
+    mu2 = rng.normal(size=(5, 2))
+    mu_f, cov_f = merge_priors(
+        jnp.asarray(mu1), jnp.asarray(cov1), jnp.asarray(mu2), jnp.asarray(cov2)
+    )
+    for i in range(5):
+        inv = np.linalg.inv(cov1[i] + cov2[i])
+        ref_cov = cov1[i] @ inv @ cov2[i]
+        ref_mu = cov1[i] @ inv @ mu2[i] + cov2[i] @ inv @ mu1[i]
+        np.testing.assert_allclose(np.asarray(cov_f[i]), ref_cov, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mu_f[i]), ref_mu, atol=1e-4)
+
+
+def test_naive_sampler_moments():
+    rng = np.random.default_rng(4)
+    mu = rng.normal(size=(21, 2)) * 10 + 128
+    cov = np.tile(np.eye(2) * 4.0, (21, 1, 1))
+    s = np.asarray(NaiveSampler()(jax.random.key(0), jnp.asarray(mu), jnp.asarray(cov), n=4000))
+    np.testing.assert_allclose(s.mean(0), mu, atol=0.3)
+    np.testing.assert_allclose(s.var(0), 4.0, atol=0.5)
+
+
+def test_psm_sampler_population_statistics():
+    contours = _train_contours(300)
+    prior = fit_shape_prior(contours)
+    sampler = PosteriorShapeModelSampler(prior)
+
+    pred = contours[5]
+    cov = np.tile(np.eye(2) * 9.0, (21, 1, 1)).astype(np.float32)
+    samples = np.asarray(
+        sampler(jax.random.key(0), jnp.asarray(pred, jnp.float32), jnp.asarray(cov), n=200)
+    )
+    assert samples.shape == (200, 21, 2)
+    assert np.isfinite(samples).all()
+    # Population mean stays near the prediction (within a few px).
+    err = np.linalg.norm(samples.mean(0) - pred, axis=-1)
+    assert err.mean() < 4.0, f"mean drift {err}"
+    # Samples vary (not collapsed) at the freely-sampled initial points...
+    assert samples[:, 0].std(0).mean() > 1.0
+    # ...and PSM-conditioned points vary less than the naive per-point std.
+    naive_std = 3.0
+    assert samples.std(0).mean() < naive_std * 1.5
+    # Sampled shapes stay anatomically plausible: apex above base.
+    assert (samples[:, 10, 1] < samples[:, 0, 1]).mean() > 0.95
+
+
+def test_psm_sampler_batched():
+    contours = _train_contours(100)
+    prior = fit_shape_prior(contours)
+    sampler = PosteriorShapeModelSampler(prior)
+    mu = jnp.asarray(contours[:4].reshape(2, 2, 21, 2), jnp.float32)
+    cov = jnp.tile(jnp.eye(2) * 4.0, (2, 2, 21, 1, 1))
+    out = sampler.sample_batch(jax.random.key(1), mu, cov, n=5)
+    assert out.shape == (2, 2, 5, 21, 2)
+    assert bool(jnp.isfinite(out).all())
