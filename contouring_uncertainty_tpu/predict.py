@@ -128,23 +128,44 @@ class AleatoricPredictor:
         self._jitted = {}
 
     def _view_fn(self, variables, img, key):
+        from contouring_uncertainty_tpu.utils.umap import skew_umap
+
         h, w = img.shape[-2:]
-        mu_te, cov_te = self.task.predict(self.model, variables, img, rng=key)
-        samples = self.sampler.sample_batch(
-            jax.random.fold_in(key, 1), mu_te, cov_te, n=self.t_a
-        )  # (N, T_e, T_a, K, 2)
+        out = self.task.predict(self.model, variables, img, rng=key)
+        skew = len(out) == 3
+        if skew:
+            mu_te, cov_te, alpha_te = out
+            samples = self.sampler.sample_batch(
+                jax.random.fold_in(key, 1), mu_te, cov_te, alpha=alpha_te, n=self.t_a
+            )
+        else:
+            mu_te, cov_te = out
+            alpha_te = None
+            samples = self.sampler.sample_batch(
+                jax.random.fold_in(key, 1), mu_te, cov_te, n=self.t_a
+            )  # (N, T_e, T_a, K, 2)
         mu, cov = fuse_epistemic_aleatoric(mu_te, cov_te)
         post_mu, post_cov = population_posterior(samples)
 
         pred_samples = rasterize_batch(samples, h, w)  # (N, T_e, T_a, H, W)
-        pred = (pred_samples.mean(axis=(1, 2)) > 0.5).astype(jnp.int32)
-        umap = jax.vmap(lambda m, c: uncertainty_map(m, c, (h, w)))(mu, cov)
+        if skew:
+            # Skew path (aleatoric_skew.py:54-130): alpha averaged over T_e,
+            # mode + umap from the skew projection, pred = rasterized mode.
+            alpha = alpha_te.mean(axis=1)
+            mode, umap = jax.vmap(lambda m, c, a: skew_umap(m, c, a, (h, w)))(mu, cov, alpha)
+            pred = rasterize_batch(mode, h, w).astype(jnp.int32)
+        else:
+            alpha = None
+            mode = mu
+            umap = jax.vmap(lambda m, c: uncertainty_map(m, c, (h, w)))(mu, cov)
+            pred = (pred_samples.mean(axis=(1, 2)) > 0.5).astype(jnp.int32)
         entropy = sample_entropy_map(pred_samples)
         point_u, instant_u = point_instant_uncertainty(
             mu, cov, post_cov, umap, entropy, pred
         )
         return {
-            "mu": mu, "cov": cov, "post_mu": post_mu, "post_cov": post_cov,
+            "mu": mu, "cov": cov, "mode": mode, "alpha": alpha,
+            "post_mu": post_mu, "post_cov": post_cov,
             "contour_samples": samples, "pred_samples": pred_samples,
             "pred": pred, "uncertainty_map": umap, "entropy_map": entropy,
             "point_uncertainty": point_u, "instant_uncertainty": instant_u,
@@ -157,12 +178,107 @@ class AleatoricPredictor:
         return self._jitted[n](variables, img, key)
 
 
+class SegPredictor:
+    """Jitted per-view prediction for segmentation-uncertainty baselines.
+
+    Capability parity with SegmentationUncertaintyTask.predict_step
+    (task/segmentation/segmentation_uncertainty.py:60-180): (T_e, T_a) prob
+    sample population -> fill-holes + largest-blob post-processing -> entropy
+    map with a 10-px zeroed border -> mean prediction + instant scalars.
+    """
+
+    BORDER_PAD = 10
+
+    def __init__(self, task, model):
+        self.task = task
+        self.model = model
+        self._jitted = {}
+
+    def _view_fn(self, variables, img, key):
+        from contouring_uncertainty_tpu.ops.morphology import postprocess_batch
+
+        probs = self.task.predict_probs(self.model, variables, img, key)
+        # (N, T_e, T_a, C, H, W); binary case C == 1.
+        binary = probs.shape[3] == 1
+        if binary:
+            samples = probs[:, :, :, 0]  # (N, T_e, T_a, H, W)
+        else:
+            samples = jnp.argmax(probs, axis=3).astype(jnp.float32)
+        rounded = jnp.round(samples) if binary else (samples > 0)
+        post = postprocess_batch(rounded.astype(jnp.float32))
+        samples = samples * post  # keep probabilities, zero spurious blobs
+
+        p_mean = samples.mean(axis=(1, 2))
+        entropy = sample_entropy_map(samples)
+        pad = self.BORDER_PAD
+        h, w = entropy.shape[-2:]
+        border = jnp.zeros((h, w), bool).at[pad:-pad, pad:-pad].set(True)
+        entropy = entropy * border[None]
+
+        pred = jnp.round(p_mean).astype(jnp.int32) if binary else p_mean.astype(jnp.int32)
+        mask_area = jnp.maximum(jnp.sum(pred != 0, axis=(-2, -1)), 1)
+        instant_u = {
+            "entropy_mean": jnp.sum(entropy, axis=(-2, -1)) / mask_area,
+        }
+        return {
+            "pred": pred,
+            "pred_samples": samples,
+            "uncertainty_map": entropy,
+            "entropy_map": entropy,
+            "instant_uncertainty": instant_u,
+        }
+
+    def __call__(self, variables, img, key):
+        n = img.shape[0]
+        if n not in self._jitted:
+            self._jitted[n] = jax.jit(self._view_fn)
+        return self._jitted[n](variables, img, key)
+
+
+def run_predict_segmentation(task, variables, data, cfg, split: str = "test") -> List[BatchResult]:
+    model = task.build_model()
+    predictor = SegPredictor(task, model)
+    key = jax.random.key(cfg.get("seed", 10))
+    results = []
+    for vi, view in enumerate(data.predict_views(split)):
+        img = jnp.asarray(view[Tags.img])
+        out = jax.tree.map(np.asarray, predictor(variables, img, jax.random.fold_in(key, vi)))
+        results.append(BatchResult(
+            id=view[Tags.id],
+            labels=task.data_params.labels,
+            img=np.asarray(view[Tags.img]),
+            gt=np.asarray(view[Tags.gt]) if view.get(Tags.gt) is not None else None,
+            pred=out["pred"],
+            pred_samples=out["pred_samples"],
+            uncertainty_map=out["uncertainty_map"],
+            entropy_map=out["entropy_map"],
+            instant_uncertainty=out["instant_uncertainty"],
+            voxelspacing=view.get(Tags.voxelspacing),
+            instants=view.get(Tags.instants),
+        ))
+    return results
+
+
 def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchResult]:
     """Predict every view of the split and assemble BatchResults
     (then results processors — results/__init__.py — consume them)."""
+    from contouring_uncertainty_tpu.tasks.segmentation import SegmentationUncertaintyTask
+
+    if isinstance(task, SegmentationUncertaintyTask):
+        results = run_predict_segmentation(task, variables, data, cfg, split)
+        _maybe_run_processors(results, cfg)
+        return results
     model = task.build_model()
     prior = get_or_fit_prior(data, cfg.get("task", {}).get("psm_path"))
-    sampler = PosteriorShapeModelSampler(prior)
+    skew_task = hasattr(task, "forward_skew")
+    if skew_task:
+        from contouring_uncertainty_tpu.sampler.psm_skew import SkewPosteriorShapeModelSampler
+
+        sampler = SkewPosteriorShapeModelSampler(
+            prior, skew_indices=getattr(task, "skew_indices", None)
+        )
+    else:
+        sampler = PosteriorShapeModelSampler(prior)
     predictor = AleatoricPredictor(task, model, sampler)
     key = jax.random.key(cfg.get("seed", 10))
 
@@ -179,8 +295,9 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
             contour=np.asarray(view[Tags.contour]) if view.get(Tags.contour) is not None else None,
             pred=out["pred"],
             mu=out["mu"],
-            mode=out["mu"],
+            mode=out["mode"],
             cov=out["cov"],
+            alpha=out.get("alpha"),
             post_mu=out["post_mu"],
             post_cov=out["post_cov"],
             contour_samples=out["contour_samples"],
@@ -194,12 +311,13 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
         )
         results.append(res)
 
+    _maybe_run_processors(results, cfg)
+    return results
+
+
+def _maybe_run_processors(results, cfg):
     if cfg.get("results_dir") or cfg.get("save_path"):
         out_dir = Path(cfg.get("results_dir") or Path(cfg["save_path"]) / "results")
-        try:
-            from contouring_uncertainty_tpu.results import run_processors
+        from contouring_uncertainty_tpu.results import run_processors
 
-            run_processors(results, out_dir, cfg)
-        except ImportError:
-            pass
-    return results
+        run_processors(results, out_dir, cfg)

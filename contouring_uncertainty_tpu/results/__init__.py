@@ -1,0 +1,63 @@
+"""Results processors: evaluation metrics, calibration, MI, clinical metrics.
+
+Capability parity with contour_uncertainty/results/ (reference Lightning
+callbacks run at on_predict_epoch_end). Here each processor is a callable
+`(results: List[BatchResult], out_dir) -> dict` and `run_processors`
+dispatches the set configured per dataset (config data/*.yaml
+results_processors), writing the same artifact names (instant_metrics.csv,
+clinical/{instant,view,patient}_df.csv, correlation/calibration figures).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List
+
+PROCESSORS = {}
+
+
+def register(name):
+    def deco(fn):
+        PROCESSORS[name] = fn
+        return fn
+    return deco
+
+
+def run_processors(results, out_dir: Path, cfg: Dict) -> Dict:
+    from contouring_uncertainty_tpu.results import (  # noqa: F401 (registration)
+        calibration,
+        clinical,
+        instant_metrics,
+        mutual_information,
+        point_metrics,
+    )
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    names = cfg.get("data", {}).get("results_processors", list(PROCESSORS))
+    all_metrics: Dict = {}
+    for name in names:
+        fn = PROCESSORS.get(name)
+        if fn is None:
+            continue
+        try:
+            metrics = fn(results, out_dir)
+        except Exception as exc:  # processors must not kill the run (ref: broad try/excepts)
+            print(f"[results] processor {name} failed: {type(exc).__name__}: {exc}")
+            continue
+        all_metrics.update({f"{name}/{k}": v for k, v in (metrics or {}).items()})
+    if all_metrics:
+        import json
+
+        (out_dir / "metrics.json").write_text(
+            json.dumps({k: _to_py(v) for k, v in all_metrics.items()}, indent=2)
+        )
+    return all_metrics
+
+
+def _to_py(v):
+    import numpy as np
+
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v

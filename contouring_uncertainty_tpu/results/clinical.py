@@ -1,0 +1,202 @@
+"""Clinical metric propagation: LV area, FAC, GLS, Simpson EDV/ESV/EF over the
+Monte-Carlo sample population, with the aleatoric/epistemic split and
+physiological rejection.
+
+Capability parity with contour_uncertainty/results/clinical/
+(clinical_metrics.py:30-531, instant.py AreaError, view.py FAC/GLS,
+patient.py Volume, utils.py aleatoric_epistemic_uncertainty). The reference
+ran Te x Ta Python loops per metric in an 8-process pool; here each view's
+whole sample population is reduced on device in one call (areas, perimeters,
+disk volumes are batched jitted functions) and only the pandas assembly stays
+on host.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from contouring_uncertainty_tpu.results import register
+from contouring_uncertainty_tpu.results.utils import _pearson
+from contouring_uncertainty_tpu.utils import clinical as C
+
+
+def aleatoric_epistemic_uncertainty(metric_mc: np.ndarray):
+    """(Te, Ta) MC metric values -> (mean, aleatoric std, epistemic std, total)
+    (reference clinical/utils.py:3-18)."""
+    means = np.nanmean(metric_mc, axis=-1)
+    stds = np.nanstd(metric_mc, axis=-1)
+    mean = float(np.nanmean(means))
+    epistemic = float(np.nanstd(means))
+    aleatoric = float(np.nanmean(stds))
+    return mean, aleatoric, epistemic, epistemic + aleatoric
+
+
+def _metric_row(pred, gt, mc, min_value, max_value):
+    mc = np.asarray(mc, float)
+    sample_reject = (mc < min_value) | (mc > max_value)
+    mc = np.where(sample_reject, np.nan, mc)
+    mean, al, ep, tot = aleatoric_epistemic_uncertainty(mc)
+    reject = not (min_value < pred <= max_value)
+    if sample_reject.mean() > 0.5:
+        reject = True
+    return {
+        "pred": float(pred),
+        "gt": float(gt) if gt is not None else np.nan,
+        "error": float(abs(mean - gt)) if gt is not None else np.nan,
+        "std": tot,
+        "mean": mean,
+        "aleatoric_std": al,
+        "epistemic_std": ep,
+        "reject": bool(reject),
+        "sample_reject_frac": float(sample_reject.mean()),
+    }
+
+
+_area_batch = jax.jit(lambda masks: C.lv_area(masks))
+_perimeter_batch = jax.jit(
+    lambda contours: jax.vmap(C.contour_perimeter)(contours.reshape(-1, *contours.shape[-2:]))
+)
+
+
+def _ed_es(res):
+    inst = res.instants or {"ED": 0, "ES": min(1, res.img.shape[0] - 1)}
+    return inst["ED"], inst["ES"]
+
+
+@register("clinical_metrics")
+def clinical_metrics(results: List, out_dir: Path) -> dict:
+    out_dir = Path(out_dir) / "clinical"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    instant_rows: Dict[str, Dict] = {}
+    view_rows: Dict[str, Dict] = {}
+    patients: Dict[str, Dict[str, object]] = defaultdict(dict)
+
+    for res in results:
+        if res.pred_samples is None:
+            continue
+        voxelarea = float(np.prod(res.voxelspacing[-2:])) if res.voxelspacing is not None else 1.0
+        samples = jnp.asarray(res.pred_samples > 0.5, jnp.float32)  # (N, Te, Ta, H, W)
+        areas_mc = np.asarray(_area_batch(samples)) * voxelarea  # (N, Te, Ta)
+
+        # ---- per-instant area ----
+        for inst_key, inst in (res.instants or {}).items():
+            pred_area = float((res.pred[inst] != 0).sum()) * voxelarea
+            gt_area = float((res.gt[inst] != 0).sum()) * voxelarea if res.gt is not None else None
+            row = _metric_row(pred_area, gt_area, areas_mc[inst], 0.0, np.inf)
+            instant_rows[f"{res.id}/{inst_key}"] = {f"Area_{k}": v for k, v in row.items()}
+
+        # ---- per-view FAC / GLS ----
+        ed, es = _ed_es(res)
+        fac_mc = (areas_mc[ed] - areas_mc[es]) / areas_mc[ed]
+        pred_fac = float(
+            ((res.pred[ed] != 0).sum() - (res.pred[es] != 0).sum()) / max((res.pred[ed] != 0).sum(), 1)
+        )
+        gt_fac = None
+        if res.gt is not None:
+            gt_fac = float(
+                ((res.gt[ed] != 0).sum() - (res.gt[es] != 0).sum()) / max((res.gt[ed] != 0).sum(), 1)
+            )
+        row = {f"FAC_{k}": v for k, v in _metric_row(pred_fac, gt_fac, fac_mc, 0.0, 1.0).items()}
+
+        if res.contour_samples is not None and res.mu is not None:
+            te, ta = res.contour_samples.shape[1:3]
+            per = np.asarray(
+                _perimeter_batch(jnp.asarray(res.contour_samples))
+            ).reshape(res.contour_samples.shape[:3])
+            gls_mc = (per[ed] - per[es]) / per[ed]
+            pred_gls = float(np.asarray(C.gls(jnp.asarray(res.mu[ed]), jnp.asarray(res.mu[es]))))
+            gt_gls = None
+            if res.contour is not None:
+                gt_gls = float(np.asarray(
+                    C.gls(jnp.asarray(res.contour[ed]), jnp.asarray(res.contour[es]))
+                ))
+            row.update({f"GLS_{k}": v for k, v in _metric_row(pred_gls, gt_gls, gls_mc, 0.0, 1.0).items()})
+        view_rows[res.id] = row
+
+        pid, _, view = res.id.rpartition("/")
+        patients[pid][view] = res
+
+    # ---- per-patient Simpson volumes / EF ----
+    patient_rows: Dict[str, Dict] = {}
+    vol_jit = jax.jit(jax.vmap(C.compute_left_ventricle_volumes, in_axes=(0, 0, None, 0, 0, None)))
+    for pid, views in patients.items():
+        a2c = views.get("2CH") or views.get("2C")
+        a4c = views.get("4CH") or views.get("4C")
+        if a2c is None or a4c is None:
+            continue
+        ed2, es2 = _ed_es(a2c)
+        ed4, es4 = _ed_es(a4c)
+        vs2 = jnp.asarray(a2c.voxelspacing[-2:] if a2c.voxelspacing is not None else (1.0, 1.0))
+        vs4 = jnp.asarray(a4c.voxelspacing[-2:] if a4c.voxelspacing is not None else (1.0, 1.0))
+
+        def masks(res, inst):
+            s = res.pred_samples[inst] > 0.5
+            return jnp.asarray(s.reshape(-1, *s.shape[-2:]), jnp.float32)
+
+        edv_mc, esv_mc = vol_jit(masks(a2c, ed2), masks(a2c, es2), vs2,
+                                 masks(a4c, ed4), masks(a4c, es4), vs4)
+        te, ta = a2c.pred_samples.shape[1:3]
+        edv_mc = np.asarray(edv_mc).reshape(te, ta)
+        esv_mc = np.asarray(esv_mc).reshape(te, ta)
+        ef_mc = (edv_mc - esv_mc) / edv_mc
+
+        def one_vol(m, inst_pair):
+            return C.compute_left_ventricle_volumes(
+                jnp.asarray(a2c.pred[inst_pair[0]] != 0, jnp.float32),
+                jnp.asarray(a2c.pred[inst_pair[1]] != 0, jnp.float32), vs2,
+                jnp.asarray(a4c.pred[inst_pair[2]] != 0, jnp.float32),
+                jnp.asarray(a4c.pred[inst_pair[3]] != 0, jnp.float32), vs4,
+            )
+
+        pred_edv, pred_esv = map(float, one_vol(None, (ed2, es2, ed4, es4)))
+        pred_ef = (pred_edv - pred_esv) / pred_edv if pred_edv else np.nan
+        if a2c.gt is not None and a4c.gt is not None:
+            gt_edv, gt_esv = map(float, np.asarray(C.compute_left_ventricle_volumes(
+                jnp.asarray(a2c.gt[ed2] != 0, jnp.float32),
+                jnp.asarray(a2c.gt[es2] != 0, jnp.float32), vs2,
+                jnp.asarray(a4c.gt[ed4] != 0, jnp.float32),
+                jnp.asarray(a4c.gt[es4] != 0, jnp.float32), vs4,
+            )))
+            gt_ef = (gt_edv - gt_esv) / gt_edv if gt_edv else np.nan
+        else:
+            gt_edv = gt_esv = gt_ef = None
+
+        row = {}
+        row.update({f"EDV_{k}": v for k, v in _metric_row(pred_edv, gt_edv, edv_mc, 0.0, np.inf).items()})
+        row.update({f"ESV_{k}": v for k, v in _metric_row(pred_esv, gt_esv, esv_mc, 0.0, np.inf).items()})
+        row.update({f"EF_{k}": v for k, v in _metric_row(pred_ef, gt_ef, ef_mc, 0.0, 1.0).items()})
+        patient_rows[pid] = row
+
+    summary = {}
+    for name, rows in (("instant", instant_rows), ("view", view_rows), ("patient", patient_rows)):
+        if not rows:
+            continue
+        df = pd.DataFrame(rows).T
+        df.to_csv(out_dir / f"{name}_df.csv")
+        for col in df.columns:
+            if col.endswith("_error"):
+                summary[f"{name}/{col}"] = float(np.nanmean(df[col].astype(float)))
+            # Correlation of uncertainty (std) with error per metric family.
+        for metric in {c.split("_")[0] for c in df.columns}:
+            err_col, std_col = f"{metric}_error", f"{metric}_std"
+            if err_col in df.columns and std_col in df.columns:
+                e = df[err_col].astype(float).to_numpy()
+                s = df[std_col].astype(float).to_numpy()
+                ok = np.isfinite(e) & np.isfinite(s)
+                if ok.sum() > 2:
+                    summary[f"{name}/corr-{metric}_std-error"] = _pearson(s[ok], e[ok])
+    # Rejection rates.
+    for name, rows in (("view", view_rows), ("patient", patient_rows)):
+        if rows:
+            df = pd.DataFrame(rows).T
+            for col in [c for c in df.columns if c.endswith("_reject")]:
+                summary[f"{name}/{col}_rate"] = float(df[col].astype(bool).mean())
+    return summary

@@ -51,11 +51,15 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
         import jax.numpy as jnp
 
         c, h, w = task.data_params.in_shape
-        template = jax.eval_shape(
-            lambda: jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
-        )
         init = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
-        variables = restore_checkpoint(ckpt, {"params": init["params"]})
+        ckpt = Path(ckpt)
+        # A directory of .ckpt checkpoints is loaded as a deep ensemble
+        # (reference uncertainty.py:54-70: list of ckpts -> nn.ModuleList).
+        members = sorted(ckpt.glob("*.ckpt")) if ckpt.is_dir() and not (ckpt / "state").exists() else []
+        if members:
+            variables = [restore_checkpoint(m, {"params": init["params"]}) for m in members]
+        else:
+            variables = restore_checkpoint(ckpt, {"params": init["params"]})
         result["ckpt_path"] = str(ckpt)
 
     if cfg.get("predict", True) and variables is not None:

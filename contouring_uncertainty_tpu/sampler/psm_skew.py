@@ -1,0 +1,101 @@
+"""Skew posterior-shape-model sampler: grid-product sampling on device.
+
+Capability parity with the reference SkewPosteriorShapeModelSampler
+(sampler/posterior_shape_model/psm_skew.py:162-420): initial landmarks drawn
+from the predicted bivariate skew-normals (alpha y-flipped), then per level
+each *skew* point is drawn from the pointwise product of its predicted
+skew-normal pdf and the PSM posterior Gaussian evaluated on a 256x256 grid
+(categorical draw), while non-skew points use the Gaussian product fusion;
+remaining points fill from the posterior mean.
+
+TPU-first (SURVEY §2.6 #3): the grid product is computed in log space for all
+K points at once ((K, G^2) logits + one categorical per point) and the whole
+(samples x batch) population vmaps — the reference looped points x samples in
+Python with torch.multinomial per point and a try/except fallback to mu.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contouring_uncertainty_tpu.distributions import bsn, bvn
+from contouring_uncertainty_tpu.sampler import prior as prior_lib
+from contouring_uncertainty_tpu.sampler.prior import ShapePrior
+from contouring_uncertainty_tpu.sampler.psm import PosteriorShapeModelSampler, merge_priors
+
+
+class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
+    def __init__(self, prior: ShapePrior, levels: int = 3,
+                 skew_indices: Optional[List[int]] = None,
+                 grid_size: int = 256, image_extent: float = 255.0, **kwargs):
+        super().__init__(prior, levels=levels, **kwargs)
+        skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
+        self._skew_mask = jnp.asarray(
+            np.isin(np.arange(self.k), np.array(skew_indices))
+        )
+        g = jnp.linspace(0.0, image_extent, grid_size)
+        gx, gy = jnp.meshgrid(g, g, indexing="ij")
+        self._grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (G^2, 2)
+
+    def _pred_logpdfs(self, mu_p, cov_p, alpha_f):
+        """(K, G^2) log pdf of each predicted skew-normal over the grid."""
+        return jax.vmap(
+            lambda m, c, a: bsn.logpdf(self._grid, m, c, a)
+        )(mu_p, cov_p, alpha_f)
+
+    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, q, pred_logp):
+        keys = jax.random.split(key, 2 * len(self._level_points) + 1)
+        contour = jnp.zeros_like(mu_p)
+
+        s0 = bsn.rvs(keys[0], mu_p, cov_p, alpha_f)
+        init_mask = jnp.zeros(self.k, bool).at[self._initial].set(True)
+        contour = jnp.where(init_mask[:, None], s0, contour)
+
+        for i, points in enumerate(self._level_points):
+            mu_c, cov_c = self._posterior_points(
+                contour, self._level_masks[i], mu_t, q, self.sigmas[i]
+            )
+            # Gaussian path (non-skew points).
+            mu_fuse, cov_fuse = merge_priors(mu_p, cov_p, mu_c, cov_c)
+            s_gauss = bvn.rvs(keys[2 * i + 1], mu_fuse, cov_fuse)
+            # Grid-product path (skew points): categorical over the image grid.
+            post_logp = jax.vmap(lambda m, c: bvn.logpdf(self._grid, m, c))(mu_c, cov_c)
+            logits = pred_logp + post_logp  # (K, G^2)
+            idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (K,)
+            s_skew = self._grid[idx]
+            s = jnp.where(self._skew_mask[:, None], s_skew, s_gauss)
+
+            lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)
+            contour = jnp.where(lvl_mask[:, None], s, contour)
+
+        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, q, self.fill_sigma)
+        return jnp.where(self._sampled_all[:, None] > 0, contour, mu_c)
+
+    def __call__(self, key: jax.Array, mu: jnp.ndarray, cov: jnp.ndarray,
+                 alpha: Optional[jnp.ndarray] = None, n: int = 1) -> jnp.ndarray:
+        assert alpha is not None, "SkewPSM requires alpha"
+        # Reference flips the y component once up front (psm_skew.py:231).
+        alpha_f = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
+        mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
+        _, q = prior_lib.refit_q(self.prior, mu_t)
+        pred_logp = self._pred_logpdfs(mu, cov, alpha_f)
+        keys = jax.random.split(key, n)
+        return jax.vmap(
+            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, q, pred_logp)
+        )(keys)
+
+    def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):
+        assert alpha is not None
+        lead = mu.shape[:-2]
+        flat_mu = mu.reshape((-1,) + mu.shape[-2:])
+        flat_cov = cov.reshape((-1,) + cov.shape[-3:])
+        flat_alpha = alpha.reshape((-1,) + alpha.shape[-2:])
+        keys = jax.random.split(key, flat_mu.shape[0])
+        out = jax.vmap(lambda k, m, c, a: self(k, m, c, a, n))(
+            keys, flat_mu, flat_cov, flat_alpha
+        )
+        return out.reshape(lead + (n, self.k, 2))

@@ -1,0 +1,154 @@
+"""Sequence (ED<->ES) PSM samplers: couple a view's two instants through an
+84-dim two-instant shape prior.
+
+Capability parity with the reference SequencePSMSampler
+(sampler/posterior_shape_model/sequence_sampler.py:13-144) and
+SequenceSkewPSMSampler (psm_skew_sequence.py:21-96): per sample, a random
+first instant is drawn with the single-instant (skew-)PSM sampler; the
+84-dim sequence posterior conditioned on that contour yields a prior for the
+second instant, fused with the prediction and sampled with the same
+single-instant machinery.
+
+Notes mirrored from the reference:
+- the plain sequence sampler uses the *fixed* sequence prior (the per-
+  prediction PCA re-fit is commented out at sequence_sampler.py:81-84);
+- the skew variant *does* re-fit the sequence PCA around the prediction
+  (psm_skew_sequence.py:68) and samples the second instant from the product
+  of the predicted skew pdf and the sequence-posterior Gaussian on the grid.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contouring_uncertainty_tpu.distributions import bvn
+from contouring_uncertainty_tpu.sampler import prior as prior_lib
+from contouring_uncertainty_tpu.sampler.prior import ShapePrior
+from contouring_uncertainty_tpu.sampler.psm import PosteriorShapeModelSampler, merge_priors
+from contouring_uncertainty_tpu.sampler.psm_skew import SkewPosteriorShapeModelSampler
+
+
+def _instant_masks(k: int):
+    m0 = np.zeros(4 * k, np.float32)
+    m0[: 2 * k] = 1.0
+    m1 = np.zeros(4 * k, np.float32)
+    m1[2 * k:] = 1.0
+    return jnp.asarray(m0), jnp.asarray(m1)
+
+
+class SequencePSMSampler(PosteriorShapeModelSampler):
+    """Gaussian sequence sampler. mu (2, K, 2) per view."""
+
+    def __init__(self, prior: ShapePrior, seq_prior: ShapePrior, levels: int = 3, **kw):
+        super().__init__(prior, levels=levels, **kw)
+        self.seq_prior = seq_prior
+        self._mask0, self._mask1 = _instant_masks(self.k)
+
+    def _sequence_posterior(self, s_first, first_is_0, seq_mu_t, seq_q):
+        """84-dim posterior conditioned on the first instant's contour.
+
+        Returns per-instant (mu_c (2, K, 2), cov_c (2, K, 2, 2))."""
+        k = self.k
+        s_full = jnp.where(
+            first_is_0,
+            jnp.concatenate([s_first.reshape(-1), jnp.zeros(2 * k)]),
+            jnp.concatenate([jnp.zeros(2 * k), s_first.reshape(-1)]),
+        )
+        s_t = (s_full - self.seq_prior.train_mean) / self.seq_prior.train_scale
+        g_mask = jnp.where(first_is_0, self._mask0, self._mask1)
+        mu_c_t, cov_c_t = prior_lib.posterior_shape_model(
+            s_t * g_mask, g_mask, seq_mu_t, seq_q, 1.0
+        )
+        mu_c = (mu_c_t * self.seq_prior.train_scale + self.seq_prior.train_mean).reshape(2, k, 2)
+        scale = self.seq_prior.train_scale
+        cov_c_t = cov_c_t * scale[None, :] * scale[:, None]
+        cov_c = prior_lib.diag_blocks_2x2(cov_c_t).reshape(2, k, 2, 2)
+        return mu_c, cov_c
+
+    def _seq_params(self, mu):
+        """Sequence-prior (mu_t, Q): fixed for the Gaussian variant."""
+        return self.seq_prior.mean_shape, self.seq_prior.q
+
+    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_q):
+        """One (2, K, 2) sequence sample."""
+        k_inst, k_first, k_second = jax.random.split(key, 3)
+        first_is_0 = jax.random.bernoulli(k_inst)
+
+        def one_instant(kk, m, c, a):
+            mu_t = prior_lib.transform(self.prior, m).reshape(-1)
+            _, q = prior_lib.refit_q(self.prior, mu_t)
+            return self._sample_one(kk, m, c, a, mu_t, q)
+
+        mu_first = jnp.where(first_is_0, mu[0], mu[1])
+        cov_first = jnp.where(first_is_0, cov[0], cov[1])
+        a_first = None if alpha is None else jnp.where(first_is_0, alpha[0], alpha[1])
+        s_first = one_instant(k_first, mu_first, cov_first, a_first)
+
+        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_q)
+        mu_f, cov_f = merge_priors(mu.reshape(-1, 2), cov.reshape(-1, 2, 2),
+                                   mu_c.reshape(-1, 2), cov_c.reshape(-1, 2, 2))
+        mu_f = mu_f.reshape(2, self.k, 2)
+        cov_f = cov_f.reshape(2, self.k, 2, 2)
+
+        mu_second = jnp.where(first_is_0, mu_f[1], mu_f[0])
+        cov_second = jnp.where(first_is_0, cov_f[1], cov_f[0])
+        a_second = None if alpha is None else jnp.where(first_is_0, alpha[1], alpha[0])
+        s_second = one_instant(k_second, mu_second, cov_second, a_second)
+
+        s0 = jnp.where(first_is_0, s_first, s_second)
+        s1 = jnp.where(first_is_0, s_second, s_first)
+        return jnp.stack([s0, s1])
+
+    def __call__(self, key, mu, cov, alpha=None, n: int = 1):
+        """mu (2, K, 2), cov (2, K, 2, 2) -> samples (n, 2, K, 2)."""
+        seq_mu_t, seq_q = self._seq_params(mu)
+        keys = jax.random.split(key, n)
+        return jax.vmap(lambda k: self._sample_pair(k, mu, cov, alpha, seq_mu_t, seq_q))(keys)
+
+
+class SequenceSkewPSMSampler(SequencePSMSampler):
+    """Skew sequence sampler: skew single-instant sampling + per-prediction
+    sequence-PCA re-fit."""
+
+    def __init__(self, prior: ShapePrior, seq_prior: ShapePrior, levels: int = 3,
+                 skew_indices: Optional[List[int]] = None, **skew_kw):
+        super().__init__(prior, seq_prior, levels=levels)
+        self._skew = SkewPosteriorShapeModelSampler(prior, levels=levels,
+                                                    skew_indices=skew_indices, **skew_kw)
+
+    def _seq_params(self, mu):
+        seq_pred_t = (
+            (mu.reshape(-1) - self.seq_prior.train_mean) / self.seq_prior.train_scale
+        )
+        return prior_lib.refit_q(self.seq_prior, seq_pred_t)
+
+    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_q):
+        k_inst, k_first, k_second = jax.random.split(key, 3)
+        first_is_0 = jax.random.bernoulli(k_inst)
+
+        def one_instant(kk, m, c, a):
+            return self._skew(kk, m, c, a, n=1)[0]
+
+        mu_first = jnp.where(first_is_0, mu[0], mu[1])
+        cov_first = jnp.where(first_is_0, cov[0], cov[1])
+        a_first = jnp.where(first_is_0, alpha[0], alpha[1])
+        s_first = one_instant(k_first, mu_first, cov_first, a_first)
+
+        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_q)
+        mu_f, cov_f = merge_priors(mu.reshape(-1, 2), cov.reshape(-1, 2, 2),
+                                   mu_c.reshape(-1, 2), cov_c.reshape(-1, 2, 2))
+        mu_f = mu_f.reshape(2, self.k, 2)
+        cov_f = cov_f.reshape(2, self.k, 2, 2)
+
+        mu_second = jnp.where(first_is_0, mu_f[1], mu_f[0])
+        cov_second = jnp.where(first_is_0, cov_f[1], cov_f[0])
+        a_second = jnp.where(first_is_0, alpha[1], alpha[0])
+        s_second = one_instant(k_second, mu_second, cov_second, a_second)
+
+        s0 = jnp.where(first_is_0, s_first, s_second)
+        s1 = jnp.where(first_is_0, s_second, s_first)
+        return jnp.stack([s0, s1])

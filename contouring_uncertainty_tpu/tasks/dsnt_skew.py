@@ -1,0 +1,131 @@
+"""DSNT-skew task: heatmaps + bottleneck ConfidenceNet -> per-point bivariate
+skew-normal NLL (MICCAI 2023 asymmetric contour uncertainty).
+
+Capability parity with the reference DSNTSkew
+(task/regression/dsnt/dsnt_skew.py:18-199): the U-Net runs with
+bottleneck_out, a ConfidenceNet head regresses 2*|skew_indices| alpha values
+scattered into the (N, K, 2) alpha tensor, the loss is the skew-normal NLL
+(0.5 log|S| + 0.5 maha - log Phi), and at predict time alpha's y component is
+flipped (dsnt_skew.py:164).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+from contouring_uncertainty_tpu.distributions import bsn
+from contouring_uncertainty_tpu.models.unet import ConfidenceNet, UNet
+from contouring_uncertainty_tpu.ops import dsnt as dsnt_ops
+from contouring_uncertainty_tpu.ops.rasterize import rasterize_batch
+from contouring_uncertainty_tpu.tasks.dsnt_al import DSNTAleatoric
+from contouring_uncertainty_tpu.utils.metrics import dice_binary
+
+
+class SkewUNet(nn.Module):
+    """UNet + ConfidenceNet skew head over the bottleneck features."""
+
+    unet: UNet
+    n_skew: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None):
+        out = self.unet(x, train=train, deterministic=deterministic)
+        a = ConfidenceNet(output_size=self.n_skew * 2, name="confidence_net")(
+            out["bottleneck"]
+        )
+        out["alpha_raw"] = a.reshape(x.shape[0], self.n_skew, 2)
+        return out
+
+
+@dataclass
+class DSNTSkew(DSNTAleatoric):
+    """Skew task config; inherits the DSNT pipeline from DSNTAleatoric."""
+
+    skew_indices: Optional[Tuple[int, ...]] = None
+    task_name: str = "dsnt-skew"
+
+    def _indices(self):
+        k = self.data_params.out_shape[0]
+        return tuple(range(k)) if self.skew_indices is None else tuple(self.skew_indices)
+
+    def build_model(self) -> SkewUNet:
+        c, h, w = self.data_params.in_shape
+        k = self.data_params.out_shape[0]
+        unet = UNet(input_shape=(c, h, w), output_shape=(k, h, w),
+                    bottleneck_out=True, **self.model_kwargs)
+        return SkewUNet(unet=unet, n_skew=len(self._indices()))
+
+    def _scatter_alpha(self, alpha_raw: jnp.ndarray) -> jnp.ndarray:
+        """(N, K*, 2) head output -> (N, K, 2) alpha with zeros elsewhere."""
+        k = self.data_params.out_shape[0]
+        n = alpha_raw.shape[0]
+        idx = jnp.asarray(np.array(self._indices(), np.int32))
+        alpha = jnp.zeros((n, k, 2), alpha_raw.dtype)
+        return alpha.at[:, idx].set(alpha_raw)
+
+    def loss(self, model, variables, batch, rng, train: bool = True):
+        img = batch[Tags.img]
+        y = batch[Tags.contour]
+        kwargs: Dict[str, Any] = dict(train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+        out = model.apply(variables, img, **kwargs)
+        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        alpha = self._scatter_alpha(out["alpha_raw"])
+
+        point_loss, logdet, maha, term3 = bsn.nll(y, mu, sigma, alpha)
+        loss = point_loss.mean()
+        logs = {
+            "loss": loss,
+            "distance_loss": dsnt_ops.euclidean_error(mu, y).mean(),
+            "loss_term1": logdet.mean(),
+            "loss_term2": maha.mean(),
+            "loss_term3": term3.mean(),
+            "alpha_norm": jnp.linalg.norm(alpha, axis=-1).mean(),
+        }
+        return loss, logs
+
+    def forward_skew(self, model, variables, img, rng=None, mc_dropout=False):
+        kwargs = {}
+        if mc_dropout:
+            kwargs = dict(deterministic=False, rngs={"dropout": rng})
+        out = model.apply(variables, img, **kwargs)
+        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        alpha = self._scatter_alpha(out["alpha_raw"])
+        # Test-time y flip (dsnt_skew.py:164): image y-axis points down.
+        alpha = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
+        return mu, sigma, alpha
+
+    def predict(self, model, variables, img, rng=None):
+        """-> mu (N, T_e, K, 2), cov (N, T_e, K, 2, 2), alpha (N, T_e, K, 2)."""
+        ensemble = variables if isinstance(variables, (list, tuple)) else None
+        t_e = len(ensemble) if ensemble else self.t_e
+        mus, covs, alphas = [], [], []
+        for i in range(t_e):
+            v = ensemble[i] if ensemble else variables
+            use_dropout = (ensemble is None) and t_e > 1
+            key = jax.random.fold_in(rng, i) if rng is not None else jax.random.key(i)
+            mu, sigma, alpha = self.forward_skew(model, v, img, rng=key, mc_dropout=use_dropout)
+            mus.append(mu)
+            covs.append(sigma)
+            alphas.append(alpha)
+        return (jnp.stack(mus, axis=1), jnp.stack(covs, axis=1), jnp.stack(alphas, axis=1))
+
+    def val_metrics(self, model, variables, batch) -> Dict[str, jnp.ndarray]:
+        loss, logs = self.loss(model, variables, batch, rng=None, train=False)
+        img = batch[Tags.img]
+        out = model.apply(variables, img)
+        _, mu, _ = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        h, w = img.shape[-2:]
+        pred = rasterize_batch(mu, h, w, linear=True)
+        gt_bin = (batch[Tags.gt] == int(Label.LV)).astype(jnp.float32)
+        logs = dict(logs)
+        logs["dice"] = dice_binary(pred, gt_bin).mean()
+        return logs

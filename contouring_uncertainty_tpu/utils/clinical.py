@@ -1,0 +1,194 @@
+"""Clinical metric formulas on device: area, perimeter, FAC, GLS, Simpson volumes.
+
+Capability parity with reference utils/clinical.py:11-110 and
+vital/utils/image/us/measure.py + vital/metrics/evaluate/clinical/heart_us.py:13-72,
+redesigned for TPU (SURVEY §2.6 #6):
+
+- area/perimeter/FAC/GLS are computed from masks (pixel counts) or contours
+  (dense-spline shoelace / arc length) as batched reductions;
+- Simpson biplane volumes use a rotate-to-principal-axis + row-sum disk
+  decomposition of the LV mask: the mask's second image moments give the long
+  axis; after rotating the mask upright, the 20 Simpson disk diameters are
+  row-wise widths. This replaces the reference's host marching-squares +
+  O(n^2) AV-plane search + 0.5-px ray march (heart_us.py:63-167) with a
+  single vectorized computation that vmaps over the MC sample population.
+
+All functions take (..., H, W) masks or (..., K, 2) contours and broadcast.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from contouring_uncertainty_tpu.ops.spline import contour_spline
+
+
+# --------------------------------------------------------------------- masks
+
+def lv_area(mask: jnp.ndarray, voxelarea=None) -> jnp.ndarray:
+    """Structure area in pixels (or physical units when voxelarea given)."""
+    area = jnp.sum(mask != 0, axis=(-2, -1)).astype(jnp.float32)
+    if voxelarea is not None:
+        area = area * voxelarea
+    return area
+
+
+def lv_fac(ed_mask: jnp.ndarray, es_mask: jnp.ndarray) -> jnp.ndarray:
+    """Fractional area change (ED - ES) / ED (utils/clinical.py:11-30)."""
+    ed = lv_area(ed_mask)
+    es = lv_area(es_mask)
+    return (ed - es) / ed
+
+
+# ------------------------------------------------------------------ contours
+
+def contour_perimeter(contour: jnp.ndarray, n_dense: int = 1000) -> jnp.ndarray:
+    """Spline arc length of (K, 2) landmarks (utils/clinical.py:32-48)."""
+    dense = contour_spline(contour, n=n_dense)
+    return jnp.sum(jnp.linalg.norm(jnp.diff(dense, axis=0), axis=-1))
+
+
+def contour_area(contour: jnp.ndarray, n_dense: int = 1000) -> jnp.ndarray:
+    """Shoelace area of the spline polygon (closed by the straight base edge)."""
+    dense = contour_spline(contour, n=n_dense)
+    x, y = dense[:, 0], dense[:, 1]
+    return 0.5 * jnp.abs(
+        jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
+    )
+
+
+def gls(ed_contour: jnp.ndarray, es_contour: jnp.ndarray) -> jnp.ndarray:
+    """Global longitudinal strain between two contours (utils/clinical.py:51-71)."""
+    ed_len = contour_perimeter(ed_contour)
+    es_len = contour_perimeter(es_contour)
+    return (ed_len - es_len) / ed_len
+
+
+def gls_sequence(contours: jnp.ndarray) -> jnp.ndarray:
+    """GLS over a frame sequence, in % vs frame 0 (utils/clinical.py:74-81)."""
+    lengths = jax.vmap(contour_perimeter)(contours)
+    return (lengths - lengths[0]) / lengths[0] * 100.0
+
+
+def fac_sequence(masks: jnp.ndarray) -> jnp.ndarray:
+    """FAC over a frame sequence, in % vs frame 0 (utils/clinical.py:84-91)."""
+    areas = lv_area(masks)
+    return (areas - areas[0]) / areas[0] * 100.0
+
+
+def metric_error(pred, gt, relative: bool = False):
+    err = jnp.abs(pred - gt)
+    return err / gt if relative else err
+
+
+# ----------------------------------------------------- Simpson biplane volume
+
+def _principal_axis(mask: jnp.ndarray):
+    """Centroid + unit long-axis direction from image moments. mask (H, W)."""
+    h, w = mask.shape
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    m = mask.astype(jnp.float32)
+    total = jnp.maximum(m.sum(), 1.0)
+    cy = (m * yy).sum() / total
+    cx = (m * xx).sum() / total
+    myy = (m * (yy - cy) ** 2).sum() / total
+    mxx = (m * (xx - cx) ** 2).sum() / total
+    mxy = (m * (yy - cy) * (xx - cx)).sum() / total
+    # Leading eigenvector of [[myy, mxy], [mxy, mxx]] in (y, x) coords.
+    half = 0.5 * (myy + mxx)
+    rad = jnp.sqrt(jnp.maximum(0.25 * (myy - mxx) ** 2 + mxy * mxy, 1e-12))
+    lam = half + rad
+    vy = jnp.where(jnp.abs(mxy) > 1e-9, mxy, 1.0)
+    vx = jnp.where(jnp.abs(mxy) > 1e-9, lam - myy, jnp.where(myy >= mxx, 0.0, 1.0))
+    n = jnp.sqrt(vy * vy + vx * vx)
+    vy, vx = vy / n, vx / n
+    # Orient toward the apex (up the image: negative y).
+    flip = jnp.where(vy > 0, -1.0, 1.0)
+    return cy, cx, vy * flip, vx * flip
+
+
+@partial(jax.jit, static_argnames=("n_disks", "n_steps"))
+def lv_disk_diameters(mask: jnp.ndarray, voxelspacing, n_disks: int = 20,
+                      n_steps: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Simpson disk diameters (mm) + step size (mm) for a binary LV mask.
+
+    The long axis runs from the basal extreme to the apical extreme of the
+    mask along its principal axis; diameters are chord widths perpendicular
+    to it, measured by sub-pixel sampling of the mask.
+    """
+    h, w = mask.shape
+    m = (mask != 0).astype(jnp.float32)
+    vs = jnp.asarray(voxelspacing, jnp.float32)
+    # Work in physical coordinates so anisotropic voxels are handled exactly.
+    cy, cx, vy, vx = _principal_axis(m)
+    # Physical-space axis direction.
+    py, px = vy * vs[0], vx * vs[1]
+    pn = jnp.sqrt(py * py + px * px)
+    py, px = py / pn, px / pn
+
+    # Project mask pixels onto the axis to find apex/base extremes (physical mm).
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] * vs[0]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] * vs[1]
+    proj = (yy - cy * vs[0]) * py + (xx - cx * vs[1]) * px
+    proj_fg = jnp.where(m > 0, proj, jnp.nan)
+    t_min = jnp.nanmin(proj_fg)  # basal end
+    t_max = jnp.nanmax(proj_fg)  # apical end
+    length = t_max - t_min
+
+    # Normal direction in physical space.
+    ny, nx = -px, py
+    # Sample the mask bilinearly along each disk's chord.
+    fractions = jnp.linspace(0.0, 1.0, n_disks, endpoint=False)
+    max_half = 0.5 * jnp.sqrt((h * vs[0]) ** 2 + (w * vs[1]) ** 2)
+    s = jnp.linspace(-1.0, 1.0, n_steps) * max_half
+
+    base_y = cy * vs[0] + t_min * py
+    base_x = cx * vs[1] + t_min * px
+
+    def diameter(frac):
+        oy = base_y + frac * length * py
+        ox = base_x + frac * length * px
+        sy = (oy + s * ny) / vs[0]
+        sx = (ox + s * nx) / vs[1]
+        vals = jax.scipy.ndimage.map_coordinates(
+            m, [sy, sx], order=0, mode="constant", cval=0.0
+        )
+        # Chord width = covered length along the sample line.
+        step_len = s[1] - s[0]
+        return jnp.sum(vals) * step_len
+
+    diameters = jax.vmap(diameter)(fractions)
+    step_size = length / n_disks
+    return diameters, step_size
+
+
+def lv_volume(a2c_diameters, a4c_diameters, step_size) -> jnp.ndarray:
+    """Biplane Simpson volume in ml (heart_us.py:50-72): mm -> m -> ml."""
+    d2 = a2c_diameters / 1000.0
+    d4 = a4c_diameters / 1000.0
+    step = step_size / 1000.0
+    return jnp.sum(d2 * d4) * step * jnp.pi / 4.0 * 1e6
+
+
+@jax.jit
+def compute_left_ventricle_volumes(
+    a2c_ed, a2c_es, a2c_voxelspacing, a4c_ed, a4c_es, a4c_voxelspacing
+):
+    """ED/ES Simpson-biplane LV volumes from binary masks of both views."""
+    d2_ed, s2_ed = lv_disk_diameters(a2c_ed, a2c_voxelspacing)
+    d2_es, s2_es = lv_disk_diameters(a2c_es, a2c_voxelspacing)
+    d4_ed, s4_ed = lv_disk_diameters(a4c_ed, a4c_voxelspacing)
+    d4_es, s4_es = lv_disk_diameters(a4c_es, a4c_voxelspacing)
+    step = jnp.maximum(jnp.maximum(s2_ed, s2_es), jnp.maximum(s4_ed, s4_es))
+    ed_volume = lv_volume(d2_ed, d4_ed, step)
+    es_volume = lv_volume(d2_es, d4_es, step)
+    return ed_volume, es_volume
+
+
+def ejection_fraction(edv, esv):
+    return (edv - esv) / edv

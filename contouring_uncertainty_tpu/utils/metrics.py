@@ -3,6 +3,7 @@ contour_uncertainty/utils/metrics.py:9-41)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -23,6 +24,25 @@ def dice_multiclass(pred: jnp.ndarray, target: jnp.ndarray, labels) -> jnp.ndarr
             continue
         scores.append(dice_binary(pred == int(lab), target == int(lab)))
     return jnp.stack(scores, axis=-1).mean(axis=-1)
+
+
+def soft_dice(probs: jnp.ndarray, target: jnp.ndarray, n_channels: int,
+              eps: float = 1e-8) -> jnp.ndarray:
+    """Differentiable Dice over foreground channels (the reference's
+    DifferentiableDiceCoefficient, vital/metrics/train/functional.py:7-133).
+
+    probs: (N, C, H, W) probabilities; target: (N, H, W) int labels.
+    Returns per-foreground-class mean Dice (C' ,).
+    """
+    if n_channels == 1:
+        tgt = (target > 0).astype(jnp.float32)[:, None]
+        p = probs
+    else:
+        tgt = jax.nn.one_hot(target, n_channels, axis=1)[:, 1:]
+        p = probs[:, 1:]
+    inter = jnp.sum(p * tgt, axis=(0, 2, 3))
+    denom = jnp.sum(p, axis=(0, 2, 3)) + jnp.sum(tgt, axis=(0, 2, 3))
+    return (2.0 * inter + eps) / (denom + eps)
 
 
 def pixel_entropy(probs: jnp.ndarray, axis: int = 1, eps: float = 1e-12) -> jnp.ndarray:

@@ -1,0 +1,116 @@
+"""Clinical device metrics (analytic oracles) + results processors end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contouring_uncertainty_tpu.utils import clinical as C
+
+
+def _ellipse_mask(a, b, size=256, cx=None, cy=None, angle=0.0):
+    cx = cx if cx is not None else size / 2
+    cy = cy if cy is not None else size / 2
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    xr = (xx - cx) * np.cos(angle) + (yy - cy) * np.sin(angle)
+    yr = -(xx - cx) * np.sin(angle) + (yy - cy) * np.cos(angle)
+    return ((xr / b) ** 2 + (yr / a) ** 2 <= 1).astype(np.float32)
+
+
+def test_lv_area_and_fac():
+    m_ed = _ellipse_mask(80, 40)
+    m_es = _ellipse_mask(70, 35)
+    ed = float(C.lv_area(jnp.asarray(m_ed)))
+    np.testing.assert_allclose(ed, np.pi * 80 * 40, rtol=0.01)
+    fac = float(C.lv_fac(jnp.asarray(m_ed), jnp.asarray(m_es)))
+    np.testing.assert_allclose(fac, 1 - (70 * 35) / (80 * 40), atol=0.01)
+
+
+def test_contour_perimeter_and_area_circle():
+    t = np.linspace(0, 2 * np.pi, 21, endpoint=False)
+    r = 50.0
+    pts = np.stack([128 + r * np.cos(t), 128 + r * np.sin(t)], -1).astype(np.float32)
+    per = float(C.contour_perimeter(jnp.asarray(pts)))
+    # Perimeter of the open spline (misses the closing chord segment).
+    assert abs(per - 2 * np.pi * r) < 0.12 * 2 * np.pi * r
+    area = float(C.contour_area(jnp.asarray(pts)))
+    np.testing.assert_allclose(area, np.pi * r * r, rtol=0.02)
+
+
+def test_gls_shrinkage():
+    t = np.linspace(0, np.pi, 21)
+    ed = np.stack([128 + 60 * np.cos(t), 200 - 120 * np.sin(t)], -1).astype(np.float32)
+    es = 128 + (ed - 128) * 0.9  # uniform 10% shrink about the center
+    g = float(C.gls(jnp.asarray(ed), jnp.asarray(es.astype(np.float32))))
+    np.testing.assert_allclose(g, 0.1, atol=0.02)
+
+
+def test_simpson_volume_ellipsoid_oracle():
+    # Both views see the same ellipse => the biplane Simpson volume equals the
+    # spheroid volume 4/3 pi a b^2 (in ml with 1 mm voxels).
+    a, b = 80.0, 40.0
+    mask = jnp.asarray(_ellipse_mask(a, b))
+    vs = jnp.asarray([1.0, 1.0])
+    edv, esv = C.compute_left_ventricle_volumes(mask, mask, vs, mask, mask, vs)
+    expected_ml = 4.0 / 3.0 * np.pi * a * b * b / 1000.0
+    np.testing.assert_allclose(float(edv), expected_ml, rtol=0.08)
+    np.testing.assert_allclose(float(esv), expected_ml, rtol=0.08)
+
+
+def test_simpson_volume_rotation_invariant():
+    a, b = 70.0, 35.0
+    vs = jnp.asarray([1.0, 1.0])
+    m0 = jnp.asarray(_ellipse_mask(a, b))
+    m30 = jnp.asarray(_ellipse_mask(a, b, angle=np.deg2rad(30)))
+    v0, _ = C.compute_left_ventricle_volumes(m0, m0, vs, m0, m0, vs)
+    v30, _ = C.compute_left_ventricle_volumes(m30, m30, vs, m30, m30, vs)
+    np.testing.assert_allclose(float(v0), float(v30), rtol=0.05)
+
+
+def test_simpson_anisotropic_voxels():
+    # Halving pixel size along one axis with double resolution = same physical shape.
+    a, b = 60.0, 30.0
+    m1 = jnp.asarray(_ellipse_mask(a, b, size=256))
+    m2 = jnp.asarray(_ellipse_mask(2 * a, b, size=256))
+    v1, _ = C.compute_left_ventricle_volumes(m1, m1, jnp.asarray([1.0, 1.0]),
+                                             m1, m1, jnp.asarray([1.0, 1.0]))
+    v2, _ = C.compute_left_ventricle_volumes(m2, m2, jnp.asarray([0.5, 1.0]),
+                                             m2, m2, jnp.asarray([0.5, 1.0]))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=0.06)
+
+
+def test_results_processors_end_to_end(tmp_path):
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import run_predict
+    from contouring_uncertainty_tpu.results import run_processors
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=7)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTAleatoric(
+        data_params=data.data_params, t_a=3, t_e=1,
+        model_kwargs=dict(kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3),
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")},
+           "data": {"results_processors": [
+               "instant_metrics", "point_metrics", "calibration",
+               "mutual_info", "clinical_metrics"]}}
+    results = run_predict(task, variables, data, cfg)
+    metrics = run_processors(results, tmp_path / "results", cfg)
+
+    assert (tmp_path / "results" / "instant_metrics.csv").exists()
+    assert (tmp_path / "results" / "clinical" / "instant_df.csv").exists()
+    assert (tmp_path / "results" / "clinical" / "view_df.csv").exists()
+    assert (tmp_path / "results" / "clinical" / "patient_df.csv").exists()
+    assert (tmp_path / "results" / "metrics.json").exists()
+    assert any(k.startswith("instant_metrics/Dice") for k in metrics)
+    assert any("FAC" in k for k in metrics)
+    assert any("EF" in k for k in metrics)
+    assert any(k.startswith("calibration/") for k in metrics)
+    assert "mutual_info/mi_morphological_baseline" in metrics
+    for k, v in metrics.items():
+        if isinstance(v, float) and ("error" in k.lower() or "Dice" in k):
+            assert np.isfinite(v), k

@@ -89,3 +89,24 @@ def test_full_predict_pipeline(tmp_path, t_e):
     if t_e > 1:
         # MC-dropout forwards must actually differ.
         assert res.cov[:, :, 0, 0].std() > 0
+
+
+def test_skew_predict_pipeline(tmp_path):
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=9)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTSkew(data_params=data.data_params, t_a=3, t_e=1,
+                    skew_indices=(0, 10, 20), model_kwargs=dict(SMALL_MODEL))
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")}}
+    results = run_predict(task, variables, data, cfg)
+    res = results[0]
+    n = res.img.shape[0]
+    assert res.alpha is not None and res.alpha.shape == (n, 21, 2)
+    assert res.mode.shape == (n, 21, 2)
+    # Mode differs from mu wherever alpha is nonzero (skew shifts the mode).
+    assert not np.allclose(res.mode, res.mu)
+    assert res.contour_samples.shape == (n, 1, 3, 21, 2)
+    assert np.isfinite(res.uncertainty_map).all()

@@ -1,0 +1,125 @@
+"""Task family coverage: skew + all segmentation baselines train one step,
+have finite losses/grads, and predict with the right shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+from contouring_uncertainty_tpu.tasks.segmentation import (
+    AleatoricUncertainty,
+    McDropoutUncertainty,
+    SegmentationUncertaintyTask,
+    StochasticSegmentationNetwork,
+    TTAUncertainty,
+)
+
+SMALL_MODEL = dict(kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3)
+DP_CONTOUR = DataParams(in_shape=(1, 32, 32), out_shape=(21, 2), labels=(Label.BG, Label.LV))
+DP_SEG = DataParams(in_shape=(1, 32, 32), out_shape=(1, 32, 32), labels=(Label.BG, Label.LV))
+
+
+def _batch(rng, n=4, k=21, size=32):
+    return {
+        Tags.img: jnp.asarray(rng.normal(size=(n, 1, size, size)).astype(np.float32)),
+        Tags.gt: jnp.asarray((rng.random((n, size, size)) > 0.7).astype(np.int32)),
+        Tags.contour: jnp.asarray(rng.uniform(4, 28, size=(n, k, 2)).astype(np.float32)),
+    }
+
+
+def _check_task_trains(task, batch, needs_contour=False):
+    model = task.build_model()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(0), batch[Tags.img], train=True
+    )
+
+    def loss_fn(params):
+        loss, logs = task.loss(model, {"params": params["params"]}, batch,
+                               jax.random.key(1), train=True)
+        return loss, logs
+
+    (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+    assert np.isfinite(float(loss)), logs
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+    return model, variables, logs
+
+
+def test_dsnt_skew_trains_and_predicts():
+    rng = np.random.default_rng(0)
+    task = DSNTSkew(data_params=DP_CONTOUR, model_kwargs=SMALL_MODEL, t_a=2)
+    batch = _batch(rng)
+    model, variables, logs = _check_task_trains(task, batch)
+    assert "loss_term3" in logs and "alpha_norm" in logs
+
+    mu, cov, alpha = task.predict(model, variables, batch[Tags.img], rng=jax.random.key(2))
+    assert mu.shape == (4, 1, 21, 2)
+    assert cov.shape == (4, 1, 21, 2, 2)
+    assert alpha.shape == (4, 1, 21, 2)
+
+
+def test_dsnt_skew_sparse_indices():
+    rng = np.random.default_rng(1)
+    task = DSNTSkew(data_params=DP_CONTOUR, model_kwargs=SMALL_MODEL,
+                    skew_indices=(0, 5, 10, 15, 20))
+    batch = _batch(rng)
+    model, variables, _ = _check_task_trains(task, batch)
+    _, _, alpha = task.predict(model, variables, batch[Tags.img])
+    a = np.asarray(alpha)[:, 0]
+    # Non-skew indices must have exactly zero alpha.
+    assert np.abs(a[:, 1]).max() == 0.0
+    assert np.abs(a[:, [0, 5, 10, 15, 20]]).max() > 0.0
+
+
+@pytest.mark.parametrize("task_cls,kwargs", [
+    (SegmentationUncertaintyTask, {}),
+    (McDropoutUncertainty, {"t_e": 3}),
+    (AleatoricUncertainty, {"iterations": 4, "t_a": 3}),
+    (TTAUncertainty, {"t_a": 3}),
+    (StochasticSegmentationNetwork, {"rank": 3, "mc_samples": 4, "t_a": 3}),
+])
+def test_segmentation_tasks_train_and_predict(task_cls, kwargs):
+    rng = np.random.default_rng(2)
+    task = task_cls(data_params=DP_SEG, model_kwargs=dict(SMALL_MODEL), **kwargs)
+    batch = _batch(rng)
+    model, variables, logs = _check_task_trains(task, batch)
+    assert "dice" in logs
+
+    probs = task.predict_probs(model, variables, batch[Tags.img], jax.random.key(3))
+    assert probs.ndim == 6 and probs.shape[0] == 4 and probs.shape[3] == 1
+    assert np.isfinite(np.asarray(probs)).all()
+    assert 0.0 <= float(probs.min()) and float(probs.max()) <= 1.0
+    t_e, t_a = probs.shape[1], probs.shape[2]
+    if task_cls is McDropoutUncertainty:
+        assert t_e == 3
+        # Stochastic passes must differ.
+        assert float(jnp.abs(probs[:, 0] - probs[:, 1]).max()) > 0
+    if task_cls in (AleatoricUncertainty, TTAUncertainty, StochasticSegmentationNetwork):
+        assert t_a == 3
+
+
+def test_seg_deep_supervision_ladder():
+    rng = np.random.default_rng(3)
+    task = SegmentationUncertaintyTask(
+        data_params=DP_SEG, model_kwargs={**SMALL_MODEL, "deep_supervision": True}
+    )
+    batch = _batch(rng)
+    _check_task_trains(task, batch)
+
+
+def test_seg_predictor_end_to_end():
+    from contouring_uncertainty_tpu.predict import SegPredictor
+
+    rng = np.random.default_rng(4)
+    task = McDropoutUncertainty(data_params=DP_SEG, model_kwargs=dict(SMALL_MODEL), t_e=2, t_a=1)
+    model = task.build_model()
+    img = jnp.asarray(rng.normal(size=(2, 1, 32, 32)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), img)
+    out = SegPredictor(task, model)(variables, img, jax.random.key(1))
+    assert out["pred"].shape == (2, 32, 32)
+    assert out["entropy_map"].shape == (2, 32, 32)
+    # Border-zeroed entropy.
+    assert float(out["entropy_map"][:, :10].max()) == 0.0
+    assert np.isfinite(np.asarray(out["instant_uncertainty"]["entropy_mean"])).all()
