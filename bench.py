@@ -23,7 +23,7 @@ BASELINE_FRAMES_PER_SEC = 10_000.0
 
 def main():
     from contouring_uncertainty_tpu.models import UNet
-    from contouring_uncertainty_tpu.ops.dsnt import heatmaps_to_pixel_gaussians
+    from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
 
     model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
                  dtype=jnp.bfloat16)
@@ -32,8 +32,7 @@ def main():
     @jax.jit
     def forward(variables, img):
         logits = model.apply(variables, img)["out"]
-        _, mu, sigma = heatmaps_to_pixel_gaussians(logits)
-        return mu, sigma
+        return logits_to_pixel_gaussians(logits)
 
     best = 0.0
     best_batch = 0

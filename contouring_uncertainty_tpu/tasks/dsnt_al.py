@@ -49,8 +49,7 @@ class DSNTAleatoric:
         if mc_dropout:
             kwargs = dict(deterministic=False, rngs={"dropout": rng})
         logits = model.apply(variables, img, **kwargs)["out"]
-        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(logits, use_covar=self.covar)
-        return mu, sigma
+        return dsnt_ops.logits_to_pixel_gaussians(logits, use_covar=self.covar)
 
     def loss(self, model, variables, batch, rng, train: bool = True):
         img = batch[Tags.img]
@@ -60,7 +59,7 @@ class DSNTAleatoric:
             kwargs["rngs"] = {"dropout": rng}
         out = model.apply(variables, img, **kwargs)
         logits = out["out"]
-        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(logits, use_covar=self.covar)
+        mu, sigma = dsnt_ops.logits_to_pixel_gaussians(logits, use_covar=self.covar)
         point_loss, logdet, maha = dsnt_ops.gaussian_nll(
             mu, sigma, y,
             log_penalty_weight=self.log_penalty_weight,

@@ -77,7 +77,7 @@ class DSNTSkew(DSNTAleatoric):
         if train:
             kwargs["rngs"] = {"dropout": rng}
         out = model.apply(variables, img, **kwargs)
-        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        mu, sigma = dsnt_ops.logits_to_pixel_gaussians(out["out"], use_covar=self.covar)
         alpha = self._scatter_alpha(out["alpha_raw"])
 
         point_loss, logdet, maha, term3 = bsn.nll(y, mu, sigma, alpha)
@@ -97,7 +97,7 @@ class DSNTSkew(DSNTAleatoric):
         if mc_dropout:
             kwargs = dict(deterministic=False, rngs={"dropout": rng})
         out = model.apply(variables, img, **kwargs)
-        _, mu, sigma = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        mu, sigma = dsnt_ops.logits_to_pixel_gaussians(out["out"], use_covar=self.covar)
         alpha = self._scatter_alpha(out["alpha_raw"])
         # Test-time y flip (dsnt_skew.py:164): image y-axis points down.
         alpha = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
@@ -122,7 +122,7 @@ class DSNTSkew(DSNTAleatoric):
         loss, logs = self.loss(model, variables, batch, rng=None, train=False)
         img = batch[Tags.img]
         out = model.apply(variables, img)
-        _, mu, _ = dsnt_ops.heatmaps_to_pixel_gaussians(out["out"], use_covar=self.covar)
+        mu, _ = dsnt_ops.logits_to_pixel_gaussians(out["out"], use_covar=self.covar)
         h, w = img.shape[-2:]
         pred = rasterize_batch(mu, h, w, linear=True)
         gt_bin = (batch[Tags.gt] == int(Label.LV)).astype(jnp.float32)

@@ -47,6 +47,7 @@ class TrainerConfig:
     augment: bool = True
     log_every: int = 50
     min_epochs: int = 1
+    native_loader: bool = True  # C++ async prefetcher (falls back to numpy)
 
 
 class Trainer:
@@ -100,6 +101,15 @@ class Trainer:
         run_dir.mkdir(parents=True, exist_ok=True)
         self._metrics_file = run_dir / f"{cfg.name}_metrics.csv"
 
+        # Model summary at fit start (reference vital/system.py:117-132).
+        from contouring_uncertainty_tpu.utils.profiling import PhaseTimer, model_summary
+
+        if not cfg.fast_dev_run:
+            (run_dir / "summary.txt").write_text(
+                model_summary(self.model, self.task.data_params.in_shape)
+            )
+        timer = PhaseTimer()
+
         best_val = np.inf
         best_params = state.params
         best_epoch = -1
@@ -107,21 +117,34 @@ class Trainer:
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
         step = 0
 
+        prefetcher = None
+        if cfg.native_loader and not cfg.fast_dev_run:
+            try:
+                from contouring_uncertainty_tpu.data.native_loader import NativePrefetcher
+
+                prefetcher = NativePrefetcher(train_arrays, cfg.batch_size, seed=cfg.seed)
+            except Exception:
+                prefetcher = None
+
         for epoch in range(max_epochs):
             t0 = time.time()
             train_logs = []
-            for bi, batch in enumerate(_iterate(train_arrays, cfg.batch_size, np_rng)):
+            train_iter = (prefetcher.epoch() if prefetcher is not None
+                          else _iterate(train_arrays, cfg.batch_size, np_rng))
+            for bi, batch in enumerate(train_iter):
                 if cfg.fast_dev_run and bi >= cfg.fast_dev_run:
                     break
-                batch = shard_batch(batch, self.mesh)
-                if cfg.augment:
-                    params = aug.sample_params(
-                        jax.random.fold_in(rng, 2 * step), len(batch[Tags.img])
+                with timer.phase("data"):
+                    batch = shard_batch(batch, self.mesh)
+                    if cfg.augment:
+                        params = aug.sample_params(
+                            jax.random.fold_in(rng, 2 * step), len(batch[Tags.img])
+                        )
+                        batch = aug.apply(batch, params)
+                with timer.phase("train_step"):
+                    state, logs = self._train_step(
+                        state, batch, jax.random.fold_in(rng, 2 * step + 1)
                     )
-                    batch = aug.apply(batch, params)
-                state, logs = self._train_step(
-                    state, batch, jax.random.fold_in(rng, 2 * step + 1)
-                )
                 train_logs.append(logs)
                 step += 1
 
@@ -154,6 +177,9 @@ class Trainer:
             if epochs_since_best > cfg.patience and epoch + 1 >= cfg.min_epochs:
                 break
 
+        if prefetcher is not None:
+            prefetcher.close()
+        timer.dump(run_dir / f"{cfg.name}_phases.json")
         ckpt_path = run_dir / f"{cfg.name}.ckpt"
         save_checkpoint(
             ckpt_path,

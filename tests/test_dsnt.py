@@ -126,3 +126,36 @@ def test_dsnt_is_differentiable():
     g = jax.grad(f)(logits)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_logits_to_pixel_gaussians_matches_base_path():
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(2, 5, 32, 32)).astype(np.float32) * 3)
+    _, mu0, sig0 = D.heatmaps_to_pixel_gaussians(logits)
+    mu1, sig1 = D.logits_to_pixel_gaussians(logits)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sig1), np.asarray(sig0), rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_fused_wrapper_matches_base_path():
+    # On CPU this exercises the XLA fallback of the fused op + its custom VJP.
+    from contouring_uncertainty_tpu.ops.pallas_dsnt import heatmaps_to_pixel_gaussians_fused
+
+    rng = np.random.default_rng(8)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 16, 16)).astype(np.float32))
+    _, mu0, sig0 = D.heatmaps_to_pixel_gaussians(logits)
+    mu1, sig1 = heatmaps_to_pixel_gaussians_fused(logits)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sig1), np.asarray(sig0), rtol=1e-4, atol=1e-3)
+
+    def f(l):
+        mu, sig = heatmaps_to_pixel_gaussians_fused(l)
+        return (mu ** 2).mean() + jnp.log(sig[..., 0, 0]).mean()
+
+    def f0(l):
+        _, mu, sig = D.heatmaps_to_pixel_gaussians(l)
+        return (mu ** 2).mean() + jnp.log(sig[..., 0, 0]).mean()
+
+    g1 = jax.grad(f)(logits)
+    g0 = jax.grad(f0)(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
