@@ -48,11 +48,15 @@ class CamusContourData:
         points_per_side: int = 11,
         labels: Sequence[Label] = (Label.BG, Label.LV),
         cache_dir: Optional[Path] = None,
+        use_sequence: bool = False,
     ):
         self.path = Path(dataset_path)
         self.fold = fold
         self.points_per_side = points_per_side
         self.labels = tuple(labels)
+        # Train on every cine frame between ED and ES (vital dataset.py:49,
+        # 79-83) instead of only the key instants.
+        self.use_sequence = use_sequence
         self.nb_points = 2 * points_per_side - 1
         self._cache_dir = Path(cache_dir) if cache_dir else self.path.parent
         self._views: Dict[str, Dict[str, ViewData]] = {}
@@ -127,7 +131,12 @@ class CamusContourData:
         views = self.load_split(split)
         imgs, gts, contours, ids = [], [], [], []
         for v in views:
-            for i in range(v.img.shape[0]):
+            if self.use_sequence or not v.instants:
+                frames = range(v.img.shape[0])
+            else:
+                # Key instants only (the reference's default training items).
+                frames = sorted(set(v.instants.values()))
+            for i in frames:
                 imgs.append(v.img[i])
                 gts.append(v.gt[i])
                 contours.append(v.contour[i])

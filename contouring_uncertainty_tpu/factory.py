@@ -39,6 +39,7 @@ def build_data(cfg: Dict):
         return CamusContourData(
             data_cfg["dataset_path"], fold=data_cfg.get("fold", 5),
             points_per_side=data_cfg.get("points_per_side", 11), labels=labels,
+            use_sequence=data_cfg.get("use_sequence", False),
         )
     if name in ("lung", "lung-cont"):
         from contouring_uncertainty_tpu.data.lung import JSRTContourData
@@ -53,7 +54,9 @@ def model_kwargs_from_cfg(model_cfg: Dict) -> Dict:
         kwargs["kernels"] = tuple(tuple(k) for k in model_cfg["kernels"])
     if "strides" in model_cfg:
         kwargs["strides"] = tuple(tuple(s) for s in model_cfg["strides"])
-    for flag in ("drop_block", "deep_supervision", "residual", "attention", "out_seg_bias", "ssn_rank", "bottleneck_out"):
+    for flag in ("drop_block", "deep_supervision", "residual", "attention",
+                 "out_seg_bias", "ssn_rank", "bottleneck_out", "init_channels",
+                 "dropout", "n_heads"):
         if flag in model_cfg:
             kwargs[flag] = model_cfg[flag]
     if "dtype" in model_cfg:
@@ -64,12 +67,14 @@ def model_kwargs_from_cfg(model_cfg: Dict) -> Dict:
 def build_task(cfg: Dict, data_params):
     task_cfg = cfg["task"]
     name = task_cfg.get("name", "dsnt-al")
-    model_kwargs = model_kwargs_from_cfg(task_cfg.get("model", {}))
+    model_cfg = task_cfg.get("model", {})
+    model_kwargs = model_kwargs_from_cfg(model_cfg)
     common = dict(
         data_params=data_params,
         t_a=task_cfg.get("t_a", 25),
         t_e=task_cfg.get("t_e", 1),
         model_kwargs=model_kwargs,
+        model_name=model_cfg.get("name", "unet2"),
     )
     if name == "dsnt-al":
         from contouring_uncertainty_tpu.tasks import DSNTAleatoric
@@ -87,6 +92,13 @@ def build_task(cfg: Dict, data_params):
             skew_indices=tuple(task_cfg.get("skew_indices", ())) or None,
             mse_weight=task_cfg.get("mse_weight", 1.0),
             log_penalty_weight=task_cfg.get("log_penalty_weight", 1.0),
+            **common,
+        )
+    if name == "epistemic":
+        from contouring_uncertainty_tpu.tasks.epistemic import EpistemicUncertainty
+
+        return EpistemicUncertainty(
+            covar=task_cfg.get("covar", True),
             **common,
         )
     if name == "mcdropout":

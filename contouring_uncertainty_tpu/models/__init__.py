@@ -1,3 +1,24 @@
 """Model zoo: nnU-Net-style UNet (primary), ENet, confidence heads."""
 
 from contouring_uncertainty_tpu.models.unet import ConfidenceNet, UNet
+
+
+def build_backbone(name: str, input_shape, output_shape, **kwargs):
+    """Model-zoo dispatch (the counterpart of Hydra's task/model group)."""
+    if name in ("unet2", "unet"):
+        return UNet(input_shape=input_shape, output_shape=output_shape, **kwargs)
+    if name in ("deeplabv3", "resnet"):
+        from contouring_uncertainty_tpu.models.deeplabv3 import DeepLabV3
+
+        allowed = {"layers", "base", "dropout", "n_heads", "ssn_rank",
+                   "bottleneck_out", "dtype"}
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        return DeepLabV3(input_shape=input_shape, output_shape=output_shape, **kwargs)
+    if name == "enet":
+        from contouring_uncertainty_tpu.models.enet import Enet
+
+        allowed = {"init_channels", "dropout", "encoder_relu", "decoder_relu",
+                   "bottleneck_out", "n_heads", "ssn_rank", "dtype"}
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        return Enet(input_shape=input_shape, output_shape=output_shape, **kwargs)
+    raise ValueError(f"Unknown model '{name}'")

@@ -36,6 +36,27 @@ from contouring_uncertainty_tpu.utils.projection import projected_uncertainty_va
 from contouring_uncertainty_tpu.utils.umap import uncertainty_map
 
 
+def get_or_fit_sequence_prior(data, path: Optional[str]) -> ShapePrior:
+    """Sequence (ED+ES stacked) prior: load or fit from paired train contours
+    (reference sequence_sampler.py:167-241 generator)."""
+    if path:
+        p = Path(path)
+        if p.exists():
+            return load_prior(p)
+    pairs = []
+    for view in data.predict_views("train"):
+        inst = view.get(Tags.instants) or {}
+        if "ED" in inst and "ES" in inst:
+            c = np.asarray(view[Tags.contour])
+            pairs.append(np.concatenate([c[inst["ED"]], c[inst["ES"]]]))
+    prior = fit_shape_prior(np.stack(pairs))
+    if path:
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        save_prior(p, prior)
+    return prior
+
+
 def get_or_fit_prior(data, path: Optional[str]) -> ShapePrior:
     """Load a shape prior, or fit one from the training contours and cache it
     (the reference ships pre-fitted .npy priors; psm.py:453-554 generates them)."""
@@ -116,15 +137,33 @@ def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred):
     return point_u, instant_u
 
 
+def _gaussian_blur(masks: jnp.ndarray, sigma: float = 5.0, truncate: float = 1.0):
+    """Separable Gaussian blur over trailing (H, W); the reference's soft-mask
+    option (contour_uncertainty.py:44-50: skimage.filters.gaussian + min-max)."""
+    radius = int(truncate * sigma + 0.5)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    lead = masks.shape[:-2]
+    flat = masks.reshape((-1,) + masks.shape[-2:])
+    blurred = jax.vmap(lambda m: jnp.apply_along_axis(
+        lambda v: jnp.convolve(v, k, mode="same"), 0,
+        jnp.apply_along_axis(lambda v: jnp.convolve(v, k, mode="same"), 1, m)))(flat)
+    lo = blurred.min(axis=(-2, -1), keepdims=True)
+    hi = blurred.max(axis=(-2, -1), keepdims=True)
+    return ((blurred - lo) / jnp.maximum(hi - lo, 1e-8)).reshape(masks.shape)
+
+
 class AleatoricPredictor:
     """Jitted per-view uncertainty propagation for contour tasks."""
 
     def __init__(self, task, model, sampler: PosteriorShapeModelSampler,
-                 t_a: Optional[int] = None):
+                 t_a: Optional[int] = None, soft_mask: bool = False):
         self.task = task
         self.model = model
         self.sampler = sampler
         self.t_a = t_a or task.t_a
+        self.soft_mask = soft_mask
         self._jitted = {}
 
     def _view_fn(self, variables, img, key):
@@ -148,6 +187,8 @@ class AleatoricPredictor:
         post_mu, post_cov = population_posterior(samples)
 
         pred_samples = rasterize_batch(samples, h, w)  # (N, T_e, T_a, H, W)
+        if self.soft_mask:
+            pred_samples = _gaussian_blur(pred_samples)
         if skew:
             # Skew path (aleatoric_skew.py:54-130): alpha averaged over T_e,
             # mode + umap from the skew projection, pred = rasterized mode.
@@ -269,9 +310,24 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
         _maybe_run_processors(results, cfg)
         return results
     model = task.build_model()
-    prior = get_or_fit_prior(data, cfg.get("task", {}).get("psm_path"))
+    task_cfg = cfg.get("task", {})
+    prior = get_or_fit_prior(data, task_cfg.get("psm_path"))
     skew_task = hasattr(task, "forward_skew")
-    if skew_task:
+    sequence = bool(task_cfg.get("sequence_sampler", False))
+    if sequence:
+        from contouring_uncertainty_tpu.sampler.sequence import (
+            SequencePSMSampler,
+            SequenceSkewPSMSampler,
+        )
+
+        seq_prior = get_or_fit_sequence_prior(data, task_cfg.get("seq_psm_path"))
+        if skew_task:
+            sampler = SequenceSkewPSMSampler(
+                prior, seq_prior, skew_indices=getattr(task, "skew_indices", None)
+            )
+        else:
+            sampler = SequencePSMSampler(prior, seq_prior)
+    elif skew_task:
         from contouring_uncertainty_tpu.sampler.psm_skew import SkewPosteriorShapeModelSampler
 
         sampler = SkewPosteriorShapeModelSampler(
@@ -279,7 +335,9 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
         )
     else:
         sampler = PosteriorShapeModelSampler(prior)
-    predictor = AleatoricPredictor(task, model, sampler)
+    predictor = AleatoricPredictor(
+        task, model, sampler, soft_mask=bool(task_cfg.get("soft_mask", False))
+    )
     key = jax.random.key(cfg.get("seed", 10))
 
     results = []

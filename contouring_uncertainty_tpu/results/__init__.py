@@ -27,6 +27,7 @@ def run_processors(results, out_dir: Path, cfg: Dict) -> Dict:
     from contouring_uncertainty_tpu.results import (  # noqa: F401 (registration)
         calibration,
         clinical,
+        extras,
         instant_metrics,
         mutual_information,
         point_metrics,

@@ -37,9 +37,37 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
     if cfg.get("train", True):
         train_arrays = data.train_arrays("train")
         val_arrays = data.train_arrays("val")
-        variables, ckpt_path = trainer.fit(train_arrays, val_arrays)
+        n_members = int(cfg.get("task", {}).get("train_ensemble", 0) or 0)
+        if n_members > 1:
+            # Deep ensemble: independently-seeded members into one directory
+            # (reference train_ensemble flag + ensemble ckpt dirs,
+            # uncertainty.py:54-70).
+            from contouring_uncertainty_tpu.factory import build_trainer as _bt
+
+            ens_dir = Path(cfg.get("save_path", "outputs")) / str(cfg.get("seed", 10)) / (
+                experiment_name(cfg) + "_ensemble"
+            )
+            ens_dir.mkdir(parents=True, exist_ok=True)
+            members = []
+            for i in range(n_members):
+                member_cfg = dict(cfg)
+                member_cfg["seed"] = cfg.get("seed", 10) + i
+                member_trainer = build_trainer(member_cfg, task)
+                member_vars, member_ckpt = member_trainer.fit(train_arrays, val_arrays)
+                target = ens_dir / f"member_{i}.ckpt"
+                import shutil
+
+                if target.exists():
+                    shutil.rmtree(target)
+                shutil.move(str(member_ckpt), str(target))
+                members.append(member_vars)
+            variables = members
+            ckpt_path = ens_dir
+            result["history"] = member_trainer.history
+        else:
+            variables, ckpt_path = trainer.fit(train_arrays, val_arrays)
+            result["history"] = trainer.history
         result["ckpt_path"] = str(ckpt_path)
-        result["history"] = trainer.history
     else:
         ckpt = cfg.get("weights") or cfg.get("ckpt")
         if not ckpt:

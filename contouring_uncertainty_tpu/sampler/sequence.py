@@ -152,3 +152,39 @@ class SequenceSkewPSMSampler(SequencePSMSampler):
         s0 = jnp.where(first_is_0, s_first, s_second)
         s1 = jnp.where(first_is_0, s_second, s_first)
         return jnp.stack([s0, s1])
+
+
+def _sequence_sample_batch(sampler, key, mu, cov, alpha=None, n: int = 1):
+    """Batched sequence sampling with the predictor's layout.
+
+    mu (N=2, T_e, K, 2) per view -> samples (2, T_e, n, K, 2): each epistemic
+    forward's ED/ES pair is sampled jointly through the sequence prior.
+    """
+    import jax
+
+    assert mu.shape[0] == 2, "sequence sampling expects an (ED, ES) view"
+    t_e = mu.shape[1]
+    keys = jax.random.split(key, t_e)
+
+    def one_te(k, m, c, a):
+        return sampler(k, m, c, a, n)  # (n, 2, K, 2)
+
+    if alpha is None:
+        out = jax.vmap(lambda k, m, c: one_te(k, m, c, None))(
+            keys, jnp.swapaxes(mu, 0, 1), jnp.swapaxes(cov, 0, 1)
+        )
+    else:
+        out = jax.vmap(one_te)(
+            keys, jnp.swapaxes(mu, 0, 1), jnp.swapaxes(cov, 0, 1),
+            jnp.swapaxes(alpha, 0, 1)
+        )
+    # (T_e, n, 2, K, 2) -> (2, T_e, n, K, 2)
+    return jnp.transpose(out, (2, 0, 1, 3, 4))
+
+
+SequencePSMSampler.sample_batch = (
+    lambda self, key, mu, cov, alpha=None, n=1: _sequence_sample_batch(self, key, mu, cov, alpha, n)
+)
+SequenceSkewPSMSampler.sample_batch = (
+    lambda self, key, mu, cov, alpha=None, n=1: _sequence_sample_batch(self, key, mu, cov, alpha, n)
+)

@@ -34,12 +34,15 @@ class DSNTAleatoric:
     t_a: int = 25
     t_e: int = 1
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
+    model_name: str = "unet2"
     task_name: str = "dsnt-al"
 
-    def build_model(self) -> UNet:
+    def build_model(self):
+        from contouring_uncertainty_tpu.models import build_backbone
+
         c, h, w = self.data_params.in_shape
         k = self.data_params.out_shape[0]
-        return UNet(input_shape=(c, h, w), output_shape=(k, h, w), **self.model_kwargs)
+        return build_backbone(self.model_name, (c, h, w), (k, h, w), **self.model_kwargs)
 
     # ------------------------------------------------------------------- steps
 

@@ -29,9 +29,9 @@ from contouring_uncertainty_tpu.utils.metrics import dice_binary
 
 
 class SkewUNet(nn.Module):
-    """UNet + ConfidenceNet skew head over the bottleneck features."""
+    """Backbone + ConfidenceNet skew head over the bottleneck features."""
 
-    unet: UNet
+    unet: nn.Module
     n_skew: int
 
     @nn.compact
@@ -56,11 +56,13 @@ class DSNTSkew(DSNTAleatoric):
         return tuple(range(k)) if self.skew_indices is None else tuple(self.skew_indices)
 
     def build_model(self) -> SkewUNet:
+        from contouring_uncertainty_tpu.models import build_backbone
+
         c, h, w = self.data_params.in_shape
         k = self.data_params.out_shape[0]
-        unet = UNet(input_shape=(c, h, w), output_shape=(k, h, w),
-                    bottleneck_out=True, **self.model_kwargs)
-        return SkewUNet(unet=unet, n_skew=len(self._indices()))
+        backbone = build_backbone(self.model_name, (c, h, w), (k, h, w),
+                                  bottleneck_out=True, **self.model_kwargs)
+        return SkewUNet(unet=backbone, n_skew=len(self._indices()))
 
     def _scatter_alpha(self, alpha_raw: jnp.ndarray) -> jnp.ndarray:
         """(N, K*, 2) head output -> (N, K, 2) alpha with zeros elsewhere."""

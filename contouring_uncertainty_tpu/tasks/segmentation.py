@@ -46,16 +46,19 @@ class SegmentationUncertaintyTask:
     t_a: int = 25
     t_e: int = 1
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
+    model_name: str = "unet2"
     task_name: str = "segmentation"
 
     @property
     def n_channels(self) -> int:
         return _seg_channels(self.data_params)
 
-    def build_model(self) -> UNet:
+    def build_model(self):
+        from contouring_uncertainty_tpu.models import build_backbone
+
         c, h, w = self.data_params.in_shape
-        return UNet(input_shape=(c, h, w), output_shape=(self.n_channels, h, w),
-                    **self.model_kwargs)
+        return build_backbone(self.model_name, (c, h, w),
+                              (self.n_channels, h, w), **self.model_kwargs)
 
     # -------------------------------------------------------------------- loss
 
@@ -118,8 +121,9 @@ class McDropoutUncertainty(SegmentationUncertaintyTask):
 
     task_name: str = "mcdropout"
 
-    def build_model(self) -> UNet:
-        self.model_kwargs.setdefault("drop_block", True)
+    def build_model(self):
+        if self.model_name in ("unet2", "unet"):
+            self.model_kwargs.setdefault("drop_block", True)
         return super().build_model()
 
     def predict_probs(self, model, variables, img, rng):
@@ -140,7 +144,7 @@ class AleatoricUncertainty(SegmentationUncertaintyTask):
     iterations: int = 10
     task_name: str = "aleatoric"
 
-    def build_model(self) -> UNet:
+    def build_model(self):
         self.model_kwargs["ssn_rank"] = 1
         return super().build_model()
 
@@ -209,7 +213,7 @@ class StochasticSegmentationNetwork(SegmentationUncertaintyTask):
     diagonal: bool = False
     task_name: str = "ssn"
 
-    def build_model(self) -> UNet:
+    def build_model(self):
         self.model_kwargs["ssn_rank"] = self.rank
         return super().build_model()
 

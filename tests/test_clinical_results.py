@@ -114,3 +114,43 @@ def test_results_processors_end_to_end(tmp_path):
     for k, v in metrics.items():
         if isinstance(v, float) and ("error" in k.lower() or "Dice" in k):
             assert np.isfinite(v), k
+
+
+def test_extra_processors_and_sequence_predict(tmp_path):
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import run_predict
+    from contouring_uncertainty_tpu.results import run_processors
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=11)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTAleatoric(
+        data_params=data.data_params, t_a=3, t_e=1,
+        model_kwargs=dict(kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3),
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0,
+           "task": {"psm_path": str(tmp_path / "prior.npz"),
+                    "seq_psm_path": str(tmp_path / "seq_prior.npz"),
+                    "sequence_sampler": True},
+           "data": {"results_processors": [
+               "skewness", "sigma_stats", "plotting", "prediction_writer"]}}
+    results = run_predict(task, variables, data, cfg)
+    # Sequence path produced jointly-sampled ED/ES populations.
+    assert results[0].contour_samples.shape[:3] == (2, 1, 3)
+    assert (tmp_path / "seq_prior.npz").exists()
+
+    metrics = run_processors(results, tmp_path / "results", cfg)
+    assert (tmp_path / "results" / "skewness.npy").exists()
+    assert (tmp_path / "results" / "sigma_stats.npy").exists()
+    assert (tmp_path / "results" / "predictions.h5").exists()
+    assert len(list((tmp_path / "results" / "figures").glob("*.png"))) > 0
+    assert metrics["prediction_writer/written_views"] == len(results)
+    import h5py
+
+    with h5py.File(tmp_path / "results" / "predictions.h5") as f:
+        view_id = results[0].id
+        assert f[view_id]["pred"].shape == results[0].pred.shape
+        assert "mu" in f[view_id]

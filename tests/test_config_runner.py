@@ -49,3 +49,48 @@ def test_runner_fast_dev_run(tmp_path):
     assert "ckpt_path" in result
     assert len(result["history"]) == 1
     assert np.isfinite(result["history"][0]["train/loss"])
+
+
+def test_runner_ensemble_training(tmp_path):
+    from contouring_uncertainty_tpu.runner import run
+
+    result = run([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task.model.kernels=[[3,3],[3,3],[3,3],[3,3]]",
+        "task.model.strides=[[1,1],[2,2],[2,2],[2,2]]",
+        "task.train_ensemble=2",
+        "task.t_a=2",
+        "trainer.max_epochs=1",
+        "trainer.batch_size=4",
+        "trainer.augment=False",
+        f"save_path={tmp_path}/out",
+        f"task.psm_path={tmp_path}/prior.npz",
+        f"results_dir={tmp_path}/results",
+    ])
+    import pathlib
+
+    ens = pathlib.Path(result["ckpt_path"])
+    assert ens.is_dir()
+    assert len(list(ens.glob("member_*.ckpt"))) == 2
+    # Ensemble predict ran with T_e = 2 members.
+    assert result["predict"][0].contour_samples.shape[1] == 2
+
+
+def test_runner_enet_model(tmp_path):
+    from contouring_uncertainty_tpu.runner import run
+
+    result = run([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task/model=enet",
+        "trainer.fast_dev_run=1",
+        "trainer.batch_size=4",
+        f"save_path={tmp_path}/out",
+        "predict=False",
+    ])
+    assert np.isfinite(result["history"][0]["train/loss"])

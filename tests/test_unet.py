@@ -93,3 +93,60 @@ def test_unet_bf16_compute_f32_out():
                  dtype=jnp.bfloat16, **SMALL)
     _, out = _init_apply(model)
     assert out["out"].dtype == jnp.float32
+
+
+def test_enet_output_and_heads():
+    from contouring_uncertainty_tpu.models.enet import Enet
+
+    model = Enet(input_shape=(1, 64, 64), output_shape=(4, 64, 64))
+    x = jnp.zeros((2, 1, 64, 64))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["out"].shape == (2, 4, 64, 64)
+
+    ssn_model = Enet(input_shape=(1, 64, 64), output_shape=(4, 64, 64), ssn_rank=2)
+    v2 = ssn_model.init(jax.random.key(0), x)
+    out2 = ssn_model.apply(v2, x)
+    assert out2["ssn"][0].shape == (2, 4, 64, 64)
+    assert out2["ssn"][1].shape == (2, 8, 64, 64)
+
+    bo = Enet(input_shape=(1, 64, 64), output_shape=(4, 64, 64), bottleneck_out=True)
+    v3 = bo.init(jax.random.key(0), x)
+    out3 = bo.apply(v3, x)
+    assert out3["bottleneck"].shape[1:3] == (8, 8)  # 64 / 8
+
+
+def test_enet_dropout_stochastic():
+    from contouring_uncertainty_tpu.models.enet import Enet
+
+    model = Enet(input_shape=(1, 32, 32), output_shape=(2, 32, 32), dropout=0.5)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 32, 32)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    o1 = model.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
+    o2 = model.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1["out"]), np.asarray(o2["out"]))
+
+
+def test_deeplabv3_output_and_heads():
+    from contouring_uncertainty_tpu.models.deeplabv3 import DeepLabV3
+
+    model = DeepLabV3(input_shape=(1, 64, 64), output_shape=(4, 64, 64),
+                      layers=(1, 1, 1, 1), base=16)
+    # Random input: with a constant input, instance norm maps every channel to
+    # its bias and channel dropout becomes invisible.
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 64, 64)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["out"].shape == (1, 4, 64, 64)
+
+    ssn = DeepLabV3(input_shape=(1, 64, 64), output_shape=(4, 64, 64),
+                    layers=(1, 1, 1, 1), base=16, ssn_rank=2, dropout=0.3,
+                    bottleneck_out=True)
+    v2 = ssn.init(jax.random.key(0), x)
+    out2 = ssn.apply(v2, x)
+    assert out2["ssn"][1].shape == (1, 8, 64, 64)
+    assert out2["bottleneck"].shape[1:3] == (4, 4)  # 64/16
+    # Dropout is stochastic.
+    o1 = ssn.apply(v2, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
+    o2 = ssn.apply(v2, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o1["out"]), np.asarray(o2["out"]))
