@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +29,34 @@ from flax import linen as nn
 _KAIMING = nn.initializers.variance_scaling(
     2.0 / (1.0 + 0.01 ** 2), "fan_in", "truncated_normal"
 )
+
+
+class InstanceNorm(nn.Module):
+    """Instance norm with f32 statistics but activations stored in `dtype`.
+
+    Keeping the stored tensor in the compute dtype matters on TPU: with the
+    stock f32 GroupNorm between bf16 convs every layer boundary reads/writes
+    f32 activations and the early 256^2 stages become HBM-bound (measured
+    ~2x traffic). Here the f32 math lives only inside the fusion; params stay
+    f32.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        # Single-pass statistics (E[x^2] - E[x]^2): one read of x for both
+        # moments — the two-pass (x - mean)^2 form costs an extra HBM pass.
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
 
 
 class ConvLayer(nn.Module):
@@ -56,9 +85,7 @@ class ConvLayer(nn.Module):
             x = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2))(
                 x, deterministic=deterministic
             )
-        x = nn.GroupNorm(
-            num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32
-        )(x)
+        x = InstanceNorm(dtype=self.dtype)(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -108,7 +135,7 @@ class ResidBlock(nn.Module):
         )(out)
         if self.drop_block:
             out = nn.Dropout(0.5, broadcast_dims=(1, 2))(out, deterministic=deterministic)
-        out = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32)(out)
+        out = InstanceNorm(dtype=self.dtype)(out)
         needs_proj = max(self.strides) > 1 or x.shape[-1] != self.features
         if needs_proj:
             residual = nn.Conv(
@@ -119,9 +146,7 @@ class ResidBlock(nn.Module):
                 residual = nn.Dropout(0.5, broadcast_dims=(1, 2))(
                     residual, deterministic=deterministic
                 )
-            residual = nn.GroupNorm(
-                num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32
-            )(residual)
+            residual = InstanceNorm(dtype=self.dtype)(residual)
         return nn.leaky_relu(out + residual, self.negative_slope)
 
 
@@ -135,7 +160,7 @@ class AttentionGate(nn.Module):
     def __call__(self, gate, skip):
         def att_layer(h, f):
             h = nn.Conv(f, (3, 3), padding="SAME", kernel_init=_KAIMING, dtype=self.dtype)(h)
-            return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32)(h)
+            return InstanceNorm(dtype=self.dtype)(h)
 
         half = self.features // 2
         g = att_layer(gate, half)

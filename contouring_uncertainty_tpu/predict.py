@@ -18,7 +18,6 @@ of it as host-side Python loops (SURVEY Stack 2 'HOT' notes).
 
 from __future__ import annotations
 
-from dataclasses import asdict
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional

@@ -42,8 +42,6 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
             # Deep ensemble: independently-seeded members into one directory
             # (reference train_ensemble flag + ensemble ckpt dirs,
             # uncertainty.py:54-70).
-            from contouring_uncertainty_tpu.factory import build_trainer as _bt
-
             ens_dir = Path(cfg.get("save_path", "outputs")) / str(cfg.get("seed", 10)) / (
                 experiment_name(cfg) + "_ensemble"
             )

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contouring_uncertainty_tpu.distributions import bvn
 from contouring_uncertainty_tpu.sampler import prior as prior_lib
 from contouring_uncertainty_tpu.sampler.prior import ShapePrior
 from contouring_uncertainty_tpu.sampler.psm import PosteriorShapeModelSampler, merge_priors

@@ -27,8 +27,7 @@ import jax.numpy as jnp
 
 from contouring_uncertainty_tpu.data import augment as aug
 from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
-from contouring_uncertainty_tpu.models.unet import UNet
-from contouring_uncertainty_tpu.utils.metrics import pixel_entropy, soft_dice
+from contouring_uncertainty_tpu.utils.metrics import soft_dice
 
 
 def _seg_channels(data_params: DataParams) -> int:
