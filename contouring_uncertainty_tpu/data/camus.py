@@ -164,8 +164,9 @@ class CamusContourData:
     def data_params(self) -> DataParams:
         views = self.load_split("train")
         h, w = views[0].img.shape[-2:]
-        remove_bg = int(Label.BG in self.labels)
-        nb_points = self.nb_points * (len(self.labels) - remove_bg)
+        # K comes from the actually-extracted contours (LV endo only for now;
+        # the reference's multi-structure LV+MYO extraction is future work).
+        nb_points = views[0].contour.shape[1]
         return DataParams(in_shape=(1, h, w), out_shape=(nb_points, 2), labels=self.labels)
 
 

@@ -98,6 +98,12 @@ class JSRTContourData:
             }
 
     @property
+    def contour_groups(self):
+        """(start, end, label) landmark slices per structure for the predict
+        pipeline (rlung/llung/heart)."""
+        return tuple((a, b, label) for _, a, b, label in STRUCTURES)
+
+    @property
     def data_params(self) -> DataParams:
         data = self._load("train")
         h, w = data[Tags.img].shape[-2:]

@@ -88,8 +88,9 @@ def build_task(cfg: Dict, data_params):
     if name in ("dsnt-skew", "dsnt-skew5", "dsnt-skew9"):
         from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
 
+        raw_idx = task_cfg.get("skew_indices")
         return DSNTSkew(
-            skew_indices=tuple(task_cfg.get("skew_indices", ())) or None,
+            skew_indices=tuple(raw_idx) if raw_idx else None,
             mse_weight=task_cfg.get("mse_weight", 1.0),
             log_penalty_weight=task_cfg.get("log_penalty_weight", 1.0),
             **common,

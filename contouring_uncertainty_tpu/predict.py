@@ -106,8 +106,10 @@ def sample_entropy_map(pred_samples: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(ent), ent, 0.0)
 
 
-def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred):
+def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred, groups=None):
     """Scalar uncertainty derivations (contour_uncertainty.py:77-128), on device."""
+    if groups is None:
+        groups = ((0, mu.shape[-2], 1),)
     def cov_scalars(c, prefix):
         vals, _ = eigh2x2(c)
         sq = jnp.sqrt(jnp.maximum(vals, 0.0))
@@ -125,10 +127,14 @@ def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred):
     vals, _ = eigh2x2(cov)
     sq = jnp.sqrt(jnp.maximum(vals, 0.0))
     mask_area = jnp.sum(pred != int(Label.BG), axis=(-2, -1))
+    cov_projection = sum(
+        jax.vmap(projected_uncertainty_value)(mu[:, a:b], cov[:, a:b])
+        for a, b, _ in groups
+    )
     instant_u = {
         "cov_det_mean": point_u["cov_det"].mean(-1),
         "cov_eigenvalue_mean": sq.mean(axis=(-1, -2)),
-        "cov_projection": jax.vmap(projected_uncertainty_value)(mu, cov),
+        "cov_projection": cov_projection,
         "umap_mean": jnp.sum(umap, axis=(-2, -1)) / mask_area,
     }
     if entropy is not None:
@@ -154,16 +160,34 @@ def _gaussian_blur(masks: jnp.ndarray, sigma: float = 5.0, truncate: float = 1.0
 
 
 class AleatoricPredictor:
-    """Jitted per-view uncertainty propagation for contour tasks."""
+    """Jitted per-view uncertainty propagation for contour tasks.
+
+    `contour_groups` describes multi-structure landmark vectors as
+    (start, end, label) slices (e.g. JSRT right-lung/left-lung/heart,
+    data/lung.py STRUCTURES); each structure is splined/rasterized/projected
+    independently (the reference used per-dataset contour_to_mask fns).
+    """
 
     def __init__(self, task, model, sampler: PosteriorShapeModelSampler,
-                 t_a: Optional[int] = None, soft_mask: bool = False):
+                 t_a: Optional[int] = None, soft_mask: bool = False,
+                 contour_groups=None):
         self.task = task
         self.model = model
         self.sampler = sampler
         self.t_a = t_a or task.t_a
         self.soft_mask = soft_mask
+        k = task.data_params.out_shape[0]
+        self.groups = tuple(contour_groups) if contour_groups else ((0, k, 1),)
         self._jitted = {}
+
+    def _rasterize_labelmap(self, points, h, w):
+        """(..., K, 2) multi-structure landmarks -> (..., H, W) label map."""
+        out = None
+        for start, end, label in self.groups:
+            mask = rasterize_batch(points[..., start:end, :], h, w)
+            lab = jnp.asarray(float(label), mask.dtype)
+            out = mask * lab if out is None else jnp.where(mask > 0, lab, out)
+        return out
 
     def _view_fn(self, variables, img, key):
         from contouring_uncertainty_tpu.utils.umap import skew_umap
@@ -185,23 +209,47 @@ class AleatoricPredictor:
         mu, cov = fuse_epistemic_aleatoric(mu_te, cov_te)
         post_mu, post_cov = population_posterior(samples)
 
-        pred_samples = rasterize_batch(samples, h, w)  # (N, T_e, T_a, H, W)
+        pred_samples = self._rasterize_labelmap(samples, h, w)  # (N, T_e, T_a, H, W)
         if self.soft_mask:
             pred_samples = _gaussian_blur(pred_samples)
+
+        def group_umap(fn):
+            total = None
+            for start, end, _ in self.groups:
+                u = fn(start, end)
+                total = u if total is None else total + u
+            return total
+
         if skew:
             # Skew path (aleatoric_skew.py:54-130): alpha averaged over T_e,
             # mode + umap from the skew projection, pred = rasterized mode.
             alpha = alpha_te.mean(axis=1)
-            mode, umap = jax.vmap(lambda m, c, a: skew_umap(m, c, a, (h, w)))(mu, cov, alpha)
-            pred = rasterize_batch(mode, h, w).astype(jnp.int32)
+            modes, umap = [], None
+            for start, end, _ in self.groups:
+                m_g, u_g = jax.vmap(
+                    lambda m, c, a: skew_umap(m, c, a, (h, w))
+                )(mu[:, start:end], cov[:, start:end], alpha[:, start:end])
+                modes.append(m_g)
+                umap = u_g if umap is None else umap + u_g
+            mode = jnp.concatenate(modes, axis=1)
+            pred = self._rasterize_labelmap(mode, h, w).astype(jnp.int32)
         else:
             alpha = None
             mode = mu
-            umap = jax.vmap(lambda m, c: uncertainty_map(m, c, (h, w)))(mu, cov)
-            pred = (pred_samples.mean(axis=(1, 2)) > 0.5).astype(jnp.int32)
-        entropy = sample_entropy_map(pred_samples)
+            umap = group_umap(lambda a, b: jax.vmap(
+                lambda m, c: uncertainty_map(m, c, (h, w))
+            )(mu[:, a:b], cov[:, a:b]))
+            if len(self.groups) == 1:
+                label = float(self.groups[0][2])
+                binary_mean = (pred_samples > 0).astype(jnp.float32).mean(axis=(1, 2))
+                pred = (jnp.where(binary_mean > 0.5, label, 0.0)).astype(jnp.int32)
+            else:
+                # Multi-structure: label maps can't be meaningfully averaged;
+                # use the fused-mean contour's rasterization as the prediction.
+                pred = self._rasterize_labelmap(mu, h, w).astype(jnp.int32)
+        entropy = sample_entropy_map((pred_samples > 0).astype(jnp.float32))
         point_u, instant_u = point_instant_uncertainty(
-            mu, cov, post_cov, umap, entropy, pred
+            mu, cov, post_cov, umap, entropy, pred, groups=self.groups
         )
         return {
             "mu": mu, "cov": cov, "mode": mode, "alpha": alpha,
@@ -241,21 +289,27 @@ class SegPredictor:
         # (N, T_e, T_a, C, H, W); binary case C == 1.
         binary = probs.shape[3] == 1
         if binary:
-            samples = probs[:, :, :, 0]  # (N, T_e, T_a, H, W)
+            samples = probs[:, :, :, 0]  # (N, T_e, T_a, H, W) probabilities
+            post = postprocess_batch(jnp.round(samples))
+            samples = samples * post  # keep probabilities, zero spurious blobs
+            p_mean = samples.mean(axis=(1, 2))
+            entropy = sample_entropy_map(samples)
+            pred = jnp.round(p_mean).astype(jnp.int32)
         else:
+            # Multiclass: argmax of the MEAN probabilities (reference
+            # segmentation_uncertainty.py pred.argmax(1)); per-pixel class
+            # entropy of the mean probs, base C; samples stored as label maps.
+            c = probs.shape[3]
+            mean_probs = probs.mean(axis=(1, 2))  # (N, C, H, W)
+            pred = jnp.argmax(mean_probs, axis=1).astype(jnp.int32)
+            entropy = -jnp.sum(
+                mean_probs * jnp.log(mean_probs + 1e-12), axis=1
+            ) / jnp.log(float(c))
             samples = jnp.argmax(probs, axis=3).astype(jnp.float32)
-        rounded = jnp.round(samples) if binary else (samples > 0)
-        post = postprocess_batch(rounded.astype(jnp.float32))
-        samples = samples * post  # keep probabilities, zero spurious blobs
-
-        p_mean = samples.mean(axis=(1, 2))
-        entropy = sample_entropy_map(samples)
         pad = self.BORDER_PAD
         h, w = entropy.shape[-2:]
         border = jnp.zeros((h, w), bool).at[pad:-pad, pad:-pad].set(True)
         entropy = entropy * border[None]
-
-        pred = jnp.round(p_mean).astype(jnp.int32) if binary else p_mean.astype(jnp.int32)
         mask_area = jnp.maximum(jnp.sum(pred != 0, axis=(-2, -1)), 1)
         instant_u = {
             "entropy_mean": jnp.sum(entropy, axis=(-2, -1)) / mask_area,
@@ -313,6 +367,13 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
     prior = get_or_fit_prior(data, task_cfg.get("psm_path"))
     skew_task = hasattr(task, "forward_skew")
     sequence = bool(task_cfg.get("sequence_sampler", False))
+    # Grid-product samplers must cover the actual image extent (the reference
+    # hardcoded 256^2 images; psm_skew.py:181-184).
+    in_h, in_w = task.data_params.in_shape[1:]
+    skew_kw = dict(
+        skew_indices=getattr(task, "skew_indices", None),
+        image_extent=float(max(in_h, in_w) - 1),
+    )
     if sequence:
         from contouring_uncertainty_tpu.sampler.sequence import (
             SequencePSMSampler,
@@ -321,21 +382,18 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
 
         seq_prior = get_or_fit_sequence_prior(data, task_cfg.get("seq_psm_path"))
         if skew_task:
-            sampler = SequenceSkewPSMSampler(
-                prior, seq_prior, skew_indices=getattr(task, "skew_indices", None)
-            )
+            sampler = SequenceSkewPSMSampler(prior, seq_prior, **skew_kw)
         else:
             sampler = SequencePSMSampler(prior, seq_prior)
     elif skew_task:
         from contouring_uncertainty_tpu.sampler.psm_skew import SkewPosteriorShapeModelSampler
 
-        sampler = SkewPosteriorShapeModelSampler(
-            prior, skew_indices=getattr(task, "skew_indices", None)
-        )
+        sampler = SkewPosteriorShapeModelSampler(prior, **skew_kw)
     else:
         sampler = PosteriorShapeModelSampler(prior)
     predictor = AleatoricPredictor(
-        task, model, sampler, soft_mask=bool(task_cfg.get("soft_mask", False))
+        task, model, sampler, soft_mask=bool(task_cfg.get("soft_mask", False)),
+        contour_groups=getattr(data, "contour_groups", None),
     )
     key = jax.random.key(cfg.get("seed", 10))
 

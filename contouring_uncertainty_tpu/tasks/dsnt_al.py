@@ -54,7 +54,8 @@ class DSNTAleatoric:
         logits = model.apply(variables, img, **kwargs)["out"]
         return dsnt_ops.logits_to_pixel_gaussians(logits, use_covar=self.covar)
 
-    def loss(self, model, variables, batch, rng, train: bool = True):
+    def _forward_loss(self, model, variables, batch, rng, train: bool):
+        """One forward -> (loss, logs, mu); loss/val share the same pass."""
         img = batch[Tags.img]
         y = batch[Tags.contour]
         kwargs: Dict[str, Any] = dict(train=train)
@@ -75,6 +76,10 @@ class DSNTAleatoric:
             "loss_term1": (self.log_penalty_weight * logdet).mean(),
             "loss_term2": (self.mse_weight * maha).mean(),
         }
+        return loss, logs, mu
+
+    def loss(self, model, variables, batch, rng, train: bool = True):
+        loss, logs, _ = self._forward_loss(model, variables, batch, rng, train)
         return loss, logs
 
     def predict(self, model, variables, img, rng=None):
@@ -101,10 +106,16 @@ class DSNTAleatoric:
         return jnp.stack(mus, axis=1), jnp.stack(covs, axis=1)
 
     def val_metrics(self, model, variables, batch) -> Dict[str, jnp.ndarray]:
-        """Val loss + Dice from linear contour reconstruction (on device)."""
-        loss, logs = self.loss(model, variables, batch, rng=None, train=False)
+        """Val loss + Dice from linear contour reconstruction (on device);
+        one model forward serves both the loss and the Dice.
+
+        Note: the Dice rasterizes the full landmark vector as one closed
+        polygon against the first foreground label — exact for single-
+        structure datasets (CAMUS LV); for multi-structure landmark vectors
+        (JSRT) it is only a coarse training signal (the predict pipeline
+        rasterizes per structure)."""
+        loss, logs, mu = self._forward_loss(model, variables, batch, rng=None, train=False)
         img = batch[Tags.img]
-        mu, _ = self.forward_gaussians(model, variables, img)
         h, w = img.shape[-2:]
         pred = rasterize_batch(mu, h, w, linear=True)
         gt_bin = (batch[Tags.gt] == int(Label.LV)).astype(jnp.float32)

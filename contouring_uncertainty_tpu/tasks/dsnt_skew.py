@@ -72,7 +72,7 @@ class DSNTSkew(DSNTAleatoric):
         alpha = jnp.zeros((n, k, 2), alpha_raw.dtype)
         return alpha.at[:, idx].set(alpha_raw)
 
-    def loss(self, model, variables, batch, rng, train: bool = True):
+    def _forward_loss(self, model, variables, batch, rng, train: bool):
         img = batch[Tags.img]
         y = batch[Tags.contour]
         kwargs: Dict[str, Any] = dict(train=train)
@@ -92,6 +92,10 @@ class DSNTSkew(DSNTAleatoric):
             "loss_term3": term3.mean(),
             "alpha_norm": jnp.linalg.norm(alpha, axis=-1).mean(),
         }
+        return loss, logs, mu
+
+    def loss(self, model, variables, batch, rng, train: bool = True):
+        loss, logs, _ = self._forward_loss(model, variables, batch, rng, train)
         return loss, logs
 
     def forward_skew(self, model, variables, img, rng=None, mc_dropout=False):
@@ -121,10 +125,8 @@ class DSNTSkew(DSNTAleatoric):
         return (jnp.stack(mus, axis=1), jnp.stack(covs, axis=1), jnp.stack(alphas, axis=1))
 
     def val_metrics(self, model, variables, batch) -> Dict[str, jnp.ndarray]:
-        loss, logs = self.loss(model, variables, batch, rng=None, train=False)
+        loss, logs, mu = self._forward_loss(model, variables, batch, rng=None, train=False)
         img = batch[Tags.img]
-        out = model.apply(variables, img)
-        mu, _ = dsnt_ops.logits_to_pixel_gaussians(out["out"], use_covar=self.covar)
         h, w = img.shape[-2:]
         pred = rasterize_batch(mu, h, w, linear=True)
         gt_bin = (batch[Tags.gt] == int(Label.LV)).astype(jnp.float32)

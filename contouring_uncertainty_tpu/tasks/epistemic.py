@@ -20,6 +20,23 @@ from contouring_uncertainty_tpu.tasks.dsnt_al import DSNTAleatoric
 class EpistemicUncertainty(DSNTAleatoric):
     task_name: str = "epistemic"
 
+    def build_model(self):
+        # A pure-epistemic task is meaningless without stochastic forwards:
+        # force MC dropout on when t_e > 1 (the reference patches dropout ON
+        # for every task whenever t_e > 1, uncertainty.py:75 — but with
+        # drop_block=False the model has no dropout modules at all, so the
+        # flag itself must be forced here).
+        if self.t_e > 1 and self.model_name in ("unet2", "unet"):
+            self.model_kwargs["drop_block"] = True
+        return super().build_model()
+
+    def predict(self, model, variables, img, rng=None):
+        """Pure-epistemic stats: zero the aleatoric-head covariances so the
+        predictor's fusion (mean cov + spread) reduces to the spread of the
+        T_e forwards only (reference epistemic.py:33-34)."""
+        mu_te, cov_te = super().predict(model, variables, img, rng=rng)
+        return mu_te, jnp.zeros_like(cov_te)
+
     def predict_point_stats(self, model, variables, img, rng=None):
         """-> (mu (N, K, 2), cov (N, K, 2, 2)) from the T_e forward spread."""
         mu_te, _ = self.predict(model, variables, img, rng=rng)  # (N, T_e, K, 2)

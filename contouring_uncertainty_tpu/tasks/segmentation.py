@@ -150,13 +150,18 @@ class AleatoricUncertainty(SegmentationUncertaintyTask):
     def loss(self, model, variables, batch, rng, train: bool = True):
         img, y = batch[Tags.img], batch[Tags.gt]
         kwargs: Dict[str, Any] = dict(train=train)
-        if train:
-            kwargs["rngs"] = {"dropout": rng}
+        # Independent keys for dropout vs the MC noise draws (sharing one key
+        # deterministically correlates the dropout masks with the noise).
+        if rng is not None:
+            drop_key, noise_key = jax.random.split(rng)
+        else:
+            drop_key, noise_key = None, jax.random.key(0)
+        if train and drop_key is not None:
+            kwargs["rngs"] = {"dropout": drop_key}
         out = model.apply(variables, img, **kwargs)
         logits = out["out"]
         sigma = jax.nn.softplus(out["ssn"][0]) + 1e-8
-        key = rng if rng is not None else jax.random.key(0)
-        eps = jax.random.normal(key, (self.iterations,) + logits.shape)
+        eps = jax.random.normal(noise_key, (self.iterations,) + logits.shape)
         x_hat = logits[None] + sigma[None] * eps
 
         if logits.shape[1] == 1:
@@ -228,7 +233,7 @@ class StochasticSegmentationNetwork(SegmentationUncertaintyTask):
     def _sample_logits(self, key, mean, diag, factor, num, antithetic=True):
         """num samples from N(mean, FF^T + D), (num, N, D)."""
         n, d = mean.shape
-        half = num // 2 if antithetic else num
+        half = (num + 1) // 2 if antithetic else num
         k1, k2 = jax.random.split(key)
         eps_f = jax.random.normal(k1, (half, n, self.rank))
         eps_d = jax.random.normal(k2, (half, n, d))
@@ -236,19 +241,24 @@ class StochasticSegmentationNetwork(SegmentationUncertaintyTask):
         if self.diagonal:
             dev = jnp.sqrt(diag)[None] * eps_d
         if antithetic:
-            dev = jnp.concatenate([dev, -dev], axis=0)
+            dev = jnp.concatenate([dev, -dev], axis=0)[:num]
         return mean[None] + dev
 
     def loss(self, model, variables, batch, rng, train: bool = True):
         img, y = batch[Tags.img], batch[Tags.gt]
         kwargs: Dict[str, Any] = dict(train=train)
-        if train:
-            kwargs["rngs"] = {"dropout": rng}
+        # Independent keys for dropout vs the MC noise draws (sharing one key
+        # deterministically correlates the dropout masks with the noise).
+        if rng is not None:
+            drop_key, noise_key = jax.random.split(rng)
+        else:
+            drop_key, noise_key = None, jax.random.key(0)
+        if train and drop_key is not None:
+            kwargs["rngs"] = {"dropout": drop_key}
         out = model.apply(variables, img, **kwargs)
         mean, diag, factor = self._distribution_params(out)
-        key = rng if rng is not None else jax.random.key(0)
         num = self.mc_samples
-        samples = self._sample_logits(key, mean, diag, factor, num)  # (S, N, D)
+        samples = self._sample_logits(noise_key, mean, diag, factor, num)  # (S, N, D)
 
         n = img.shape[0]
         c = self.n_channels

@@ -111,7 +111,9 @@ class Trainer:
         timer = PhaseTimer()
 
         best_val = np.inf
-        best_params = state.params
+        # Copy: state's buffers are donated into the first train_step, so an
+        # alias would be a deleted array if no epoch ever improves val loss.
+        best_params = jax.tree.map(jnp.copy, state.params)
         best_epoch = -1
         epochs_since_best = 0
         max_epochs = 1 if cfg.fast_dev_run else cfg.max_epochs
