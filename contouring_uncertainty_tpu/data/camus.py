@@ -57,6 +57,7 @@ class CamusContourData:
         # Train on every cine frame between ED and ES (vital dataset.py:49,
         # 79-83) instead of only the key instants.
         self.use_sequence = use_sequence
+        self._include_myo = Label.MYO in self.labels
         self.nb_points = 2 * points_per_side - 1
         self._cache_dir = Path(cache_dir) if cache_dir else self.path.parent
         self._views: Dict[str, Dict[str, ViewData]] = {}
@@ -73,7 +74,8 @@ class CamusContourData:
             ]
 
     def _cache_path(self, split: str) -> Path:
-        key = f"{self.path.name}-{self.fold}-{split}-{self.points_per_side}-{len(self.labels)}"
+        key = (f"{self.path.name}-{self.fold}-{split}-{self.points_per_side}-"
+               f"{len(self.labels)}-{self._include_myo}")
         digest = hashlib.md5(key.encode()).hexdigest()[:10]
         return self._cache_dir / f"contours_{split}_{digest}.npz"
 
@@ -101,9 +103,11 @@ class CamusContourData:
                     if ckey in cached:
                         contour = cached[ckey]
                     else:
-                        contour = np.stack(
-                            [get_contour_points(gt[i], self.nb_points) for i in range(len(gt))]
-                        )
+                        contour = np.stack([
+                            get_contour_points(gt[i], self.nb_points,
+                                               include_myo=self._include_myo)
+                            for i in range(len(gt))
+                        ])
                     new_cache[ckey] = contour
                     instants = {}
                     for ikey in g.attrs.get("instants", []):
@@ -159,6 +163,15 @@ class CamusContourData:
                 Tags.voxelspacing: v.voxelspacing,
                 Tags.instants: v.instants,
             }
+
+    @property
+    def contour_groups(self):
+        """(start, end, label) landmark slices for the predict pipeline."""
+        k = self.nb_points
+        groups = [(0, k, int(Label.LV))]
+        if self._include_myo:
+            groups.append((k, 2 * k, int(Label.MYO)))
+        return tuple(groups)
 
     @property
     def data_params(self) -> DataParams:

@@ -141,7 +141,73 @@ def lv_contour(segmentation: np.ndarray, nb_points: int = 21) -> np.ndarray:
     return points
 
 
-def get_contour_points(segmentation: np.ndarray, nb_points: int = 21) -> np.ndarray:
-    """LV landmarks in (x, y) ordering, (K, 2) float32 (extract_points.py:11-20)."""
+def get_contour_points(segmentation: np.ndarray, nb_points: int = 21,
+                       include_myo: bool = False) -> np.ndarray:
+    """Landmarks in (x, y) ordering, (K or 2K, 2) float32 (extract_points.py:11-20).
+
+    With include_myo, the epicardium landmarks are appended after the LV endo
+    landmarks (the reference's labels=[LV, MYO] contour layout)."""
     pts = lv_contour(segmentation, nb_points)
+    if include_myo:
+        pts = np.concatenate([pts, myo_contour(segmentation, nb_points)])
     return np.flip(pts, axis=-1).astype(np.float32)
+
+
+def _convex_hull_mask(mask: np.ndarray) -> np.ndarray:
+    """Filled convex hull of a binary mask (skimage.convex_hull_image stand-in)."""
+    from matplotlib.path import Path as MplPath
+    from scipy.spatial import ConvexHull
+
+    ys, xs = np.nonzero(mask)
+    pts = np.stack([xs, ys], -1)
+    hull = ConvexHull(pts)
+    poly = pts[hull.vertices]
+    h, w = mask.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    inside = MplPath(poly).contains_points(np.stack([xx.ravel(), yy.ravel()], -1))
+    return inside.reshape(h, w).astype(np.uint8)
+
+
+def myo_contour(segmentation: np.ndarray, nb_points: int = 21) -> np.ndarray:
+    """K epicardium landmarks base1 -> apex -> base2, in (y, x).
+
+    Mirrors extract_points.py:50-81 in structure (convex hull of the MYO,
+    edge walk between detected corners) with a simplified corner detector:
+    the reference's polar-peak extraction
+    (vital _extract_landmarks_from_polar_contour) is replaced by casting rays
+    from the LV centroid through the endo base corners to the hull edge (the
+    epi base corners sit radially outward of the endo base), and the apex is
+    the hull point farthest from the base midpoint.
+    """
+    hull = _convex_hull_mask(np.isin(segmentation, Label.MYO))
+    edge = structure_edge(hull, 1)
+    edge_pts = np.stack(np.nonzero(edge), -1)  # (M, 2) (y, x)
+
+    endo_b = endo_base(segmentation)
+    lv_ys, lv_xs = np.nonzero(np.isin(segmentation, Label.LV))
+    center = np.array([lv_ys.mean(), lv_xs.mean()])
+
+    def ray_corner(base_pt):
+        d = base_pt - center
+        d = d / (np.linalg.norm(d) + 1e-9)
+        # Edge point maximizing projection along the ray while staying close
+        # to the ray's direction.
+        rel = edge_pts - center
+        proj = rel @ d
+        dist_to_ray = np.abs(rel[:, 0] * d[1] - rel[:, 1] * d[0])
+        score = proj - 2.0 * dist_to_ray
+        return edge_pts[np.argmax(score)]
+
+    base = (ray_corner(endo_b[0]), ray_corner(endo_b[1]))
+    mid = (base[0] + base[1]) / 2.0
+    apex = edge_pts[np.argmax(np.linalg.norm(edge_pts - mid, axis=-1))]
+
+    path1 = bfs_path(edge, tuple(apex), tuple(base[0]))
+    path2 = bfs_path(edge, tuple(apex), tuple(base[1]))
+    pps = (nb_points + 1) // 2
+    idx1 = np.linspace(0, len(path1) - 1, pps).astype(int)
+    idx2 = np.linspace(0, len(path2) - 1, pps).astype(int)
+    return np.concatenate([
+        base[0][None], path1[idx1[1:-1]][::-1], apex[None],
+        path2[idx2[1:-1]], base[1][None],
+    ], axis=0)

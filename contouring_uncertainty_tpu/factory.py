@@ -148,5 +148,7 @@ def build_trainer(cfg: Dict, task) -> Trainer:
         fast_dev_run=t.get("fast_dev_run", 0),
         augment=t.get("augment", True),
         min_epochs=t.get("min_epochs", 1),
+        use_comet=bool(cfg.get("comet", False)),
+        use_tensorboard=bool(cfg.get("tensorboard", False)),
     )
     return Trainer(task, tc)

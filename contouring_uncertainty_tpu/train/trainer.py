@@ -48,6 +48,8 @@ class TrainerConfig:
     log_every: int = 50
     min_epochs: int = 1
     native_loader: bool = True  # C++ async prefetcher (falls back to numpy)
+    use_comet: bool = False
+    use_tensorboard: bool = False
 
 
 class Trainer:
@@ -109,6 +111,12 @@ class Trainer:
                 model_summary(self.model, self.task.data_params.in_shape)
             )
         timer = PhaseTimer()
+        from contouring_uncertainty_tpu.train.logging import ExperimentLogger
+
+        exp_logger = ExperimentLogger(
+            run_dir, cfg.name, use_comet=cfg.use_comet,
+            use_tensorboard=cfg.use_tensorboard,
+        )
 
         best_val = np.inf
         # Copy: state's buffers are donated into the first train_step, so an
@@ -165,6 +173,7 @@ class Trainer:
                         for k in val_logs[0]})
             self.history.append(row)
             self._log_row(row)
+            exp_logger.log_metrics(row, step=epoch)
 
             val_loss = row["val/loss"]
             if np.isfinite(val_loss) and val_loss < best_val:
@@ -181,6 +190,7 @@ class Trainer:
 
         if prefetcher is not None:
             prefetcher.close()
+        exp_logger.close()
         timer.dump(run_dir / f"{cfg.name}_phases.json")
         ckpt_path = run_dir / f"{cfg.name}.ckpt"
         save_checkpoint(

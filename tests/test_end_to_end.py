@@ -140,3 +140,26 @@ def test_un_apply_logits_roundtrip():
     np.testing.assert_allclose(
         np.asarray(back)[center], np.asarray(logits)[center], atol=0.05
     )
+
+
+def test_lv_myo_contour_extraction(camus_h5):
+    """labels=[BG, LV, MYO]: 42 landmarks (endo + epi), epi outside endo."""
+    from contouring_uncertainty_tpu.data.config import Label
+
+    data = CamusContourData(camus_h5, fold=5, labels=(Label.BG, Label.LV, Label.MYO))
+    train = data.train_arrays("train")
+    assert train[Tags.contour].shape[1:] == (42, 2)
+    assert data.data_params.out_shape == (42, 2)
+    assert data.contour_groups == ((0, 21, 1), (21, 42, 2))
+    endo = train[Tags.contour][0, :21]
+    epi = train[Tags.contour][0, 21:]
+    # The epicardium apex sits above (smaller y) the endo apex.
+    assert epi[10, 1] <= endo[10, 1] + 1.0
+    # Epi landmarks lie on/near the MYO convex hull: all within the image.
+    assert np.isfinite(epi).all()
+    gt0 = train[Tags.gt][0]
+    # Each epi landmark is within a few px of a MYO or LV pixel.
+    ys, xs = np.nonzero(gt0 > 0)
+    fg = np.stack([xs, ys], -1)
+    for pt in epi:
+        assert np.linalg.norm(fg - pt, axis=1).min() < 6.0
