@@ -88,6 +88,36 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
             variables = restore_checkpoint(ckpt, {"params": init["params"]})
         result["ckpt_path"] = str(ckpt)
 
+    if cfg.get("test", True) and variables is not None and hasattr(data, "train_arrays"):
+        # Test-split metrics pass (the reference's trainer.test between fit
+        # and predict, vital/vital/runner.py:142).
+        import jax
+        import numpy as np
+
+        from contouring_uncertainty_tpu.parallel import make_mesh, shard_batch
+        from contouring_uncertainty_tpu.train.trainer import _iterate
+
+        try:
+            test_arrays = data.train_arrays("test")
+            model = task.build_model()
+            var0 = variables[0] if isinstance(variables, (list, tuple)) else variables
+            eval_step = jax.jit(
+                lambda v, b: task.val_metrics(model, v, b)
+            )
+            mesh = make_mesh()
+            logs = []
+            rng = np.random.default_rng(0)
+            for batch in _iterate(test_arrays, cfg.get("trainer", {}).get("batch_size", 32),
+                                  rng, shuffle=False, drop_last=False):
+                logs.append(eval_step(var0, shard_batch(batch, mesh)))
+            if logs:
+                test_metrics = {f"test/{k}": float(np.mean([float(l[k]) for l in logs]))
+                                for k in logs[0]}
+                result["test_metrics"] = test_metrics
+                print({k: round(v, 4) for k, v in test_metrics.items()})
+        except Exception as exc:
+            print(f"[runner] test pass failed: {type(exc).__name__}: {exc}")
+
     if cfg.get("predict", True) and variables is not None:
         from contouring_uncertainty_tpu.predict import run_predict
 

@@ -94,3 +94,23 @@ def test_runner_enet_model(tmp_path):
         "predict=False",
     ])
     assert np.isfinite(result["history"][0]["train/loss"])
+
+
+def test_runner_test_split_metrics(tmp_path):
+    from contouring_uncertainty_tpu.runner import run
+
+    result = run([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task.model.kernels=[[3,3],[3,3],[3,3],[3,3]]",
+        "task.model.strides=[[1,1],[2,2],[2,2],[2,2]]",
+        "trainer.fast_dev_run=1",
+        "trainer.batch_size=4",
+        f"save_path={tmp_path}/out",
+        "predict=False",
+    ])
+    assert "test_metrics" in result
+    assert np.isfinite(result["test_metrics"]["test/loss"])
+    assert "test/dice" in result["test_metrics"]
