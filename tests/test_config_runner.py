@@ -114,3 +114,44 @@ def test_runner_test_split_metrics(tmp_path):
     assert "test_metrics" in result
     assert np.isfinite(result["test_metrics"]["test/loss"])
     assert "test/dice" in result["test_metrics"]
+
+
+def test_runner_eval_only_autoload(tmp_path):
+    """train=False auto-loads the deterministic checkpoint path
+    (reference config/default.yaml:29-30 load_path behavior)."""
+    from contouring_uncertainty_tpu.runner import run
+
+    common = [
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task.model.kernels=[[3,3],[3,3],[3,3],[3,3]]",
+        "task.model.strides=[[1,1],[2,2],[2,2],[2,2]]",
+        "trainer.batch_size=4",
+        f"save_path={tmp_path}/out",
+        f"task.psm_path={tmp_path}/prior.npz",
+    ]
+    run(common + ["trainer.max_epochs=1", "trainer.augment=False", "predict=False", "test=False"])
+    result = run(common + ["train=False", "test=False", "task.t_a=2",
+                           f"results_dir={tmp_path}/results"])
+    assert result["predict"], "eval-only run should produce predictions"
+    assert result["ckpt_path"].endswith(".ckpt")
+
+
+def test_generate_psm_cli(tmp_path):
+    from contouring_uncertainty_tpu.tools import generate_psm
+    from contouring_uncertainty_tpu.sampler.prior import load_prior
+
+    generate_psm([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        f"out={tmp_path}/p.npz",
+        f"seq_out={tmp_path}/sp.npz",
+    ])
+    prior = load_prior(tmp_path / "p.npz")
+    assert prior.dim == 42  # 21 points x 2
+    seq = load_prior(tmp_path / "sp.npz")
+    assert seq.dim == 84  # ED+ES stacked

@@ -134,3 +134,34 @@ def test_psm_sampler_batched():
     out = sampler.sample_batch(jax.random.key(1), mu, cov, n=5)
     assert out.shape == (2, 2, 5, 21, 2)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_reference_npy_prior_compatibility():
+    """Load the reference's shipped PSM artifact directly and sample with it
+    (sampler/prior.py's .npy loader; artifact described in SURVEY §2.3)."""
+    from pathlib import Path
+
+    from contouring_uncertainty_tpu.sampler.prior import load_prior
+
+    ref = Path("/root/reference/camus-cont_psm_11_no_std.npy")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference artifact not mounted")
+    prior = load_prior(ref)
+    assert prior.dim == 42
+    assert np.allclose(np.asarray(prior.train_scale), 1.0)  # *_no_std
+
+    sampler = PosteriorShapeModelSampler(prior)
+    # Use the prior's own mean shape (transformed space -> pixel space).
+    mu = (np.asarray(prior.x_train_mean) * np.asarray(prior.train_scale)
+          + np.asarray(prior.train_mean)).reshape(21, 2).astype(np.float32)
+    cov = np.tile(np.eye(2, dtype=np.float32) * 9.0, (21, 1, 1))
+    samples = np.asarray(sampler(jax.random.key(0), jnp.asarray(mu), jnp.asarray(cov), n=100))
+    assert samples.shape == (100, 21, 2)
+    assert np.isfinite(samples).all()
+    err = np.linalg.norm(samples.mean(0) - mu, axis=-1)
+    assert err.mean() < 4.0, f"drift vs prior mean: {err.mean()}"
+    # Sequence artifact too.
+    seq = load_prior(Path("/root/reference/camus-cont_sequence_psm_11_no_std.npy"))
+    assert seq.dim == 84
