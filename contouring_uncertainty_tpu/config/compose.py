@@ -70,9 +70,16 @@ def compose(overrides: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR
         if "=" not in ov:
             raise ValueError(f"Override '{ov}' must look like key=value")
         key, value = ov.split("=", 1)
-        option_file = config_dir / key / f"{value}.yaml"
+        group_dir = config_dir / key
+        option_file = group_dir / f"{value}.yaml"
         if option_file.exists():
             group_sel[key] = value
+        elif group_dir.is_dir() and "." not in key:
+            options = sorted(p.stem for p in group_dir.glob("*.yaml"))
+            raise ValueError(
+                f"Unknown option '{value}' for config group '{key}'. "
+                f"Available: {options}"
+            )
         else:
             dotted.append(ov)
 
