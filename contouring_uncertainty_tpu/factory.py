@@ -150,5 +150,6 @@ def build_trainer(cfg: Dict, task) -> Trainer:
         min_epochs=t.get("min_epochs", 1),
         use_comet=bool(cfg.get("comet", False)),
         use_tensorboard=bool(cfg.get("tensorboard", False)),
+        save_every=t.get("save_every", 25),
     )
     return Trainer(task, tc)

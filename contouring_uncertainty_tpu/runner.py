@@ -63,7 +63,14 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
             ckpt_path = ens_dir
             result["history"] = member_trainer.history
         else:
-            variables, ckpt_path = trainer.fit(train_arrays, val_arrays)
+            resume_from = None
+            if cfg.get("resume"):
+                resume_from = cfg.get("ckpt") or str(
+                    Path(cfg.get("save_path", "outputs")) / str(cfg.get("seed", 10))
+                    / (experiment_name(cfg) + "_last.ckpt")
+                )
+            variables, ckpt_path = trainer.fit(train_arrays, val_arrays,
+                                               resume_from=resume_from)
             result["history"] = trainer.history
         result["ckpt_path"] = str(ckpt_path)
     else:

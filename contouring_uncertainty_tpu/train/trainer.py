@@ -50,6 +50,7 @@ class TrainerConfig:
     native_loader: bool = True  # C++ async prefetcher (falls back to numpy)
     use_comet: bool = False
     use_tensorboard: bool = False
+    save_every: int = 25  # periodic full-state (resumable) checkpoint cadence
 
 
 class Trainer:
@@ -92,11 +93,29 @@ class Trainer:
 
     # --------------------------------------------------------------------- fit
 
-    def fit(self, train_arrays: Dict[str, np.ndarray], val_arrays: Dict[str, np.ndarray]):
+    def fit(self, train_arrays: Dict[str, np.ndarray], val_arrays: Dict[str, np.ndarray],
+            resume_from: Optional[str] = None):
+        """Train; `resume_from` restores a full-state checkpoint (params +
+        optimizer state + epoch) written by the periodic saver — the
+        counterpart of Lightning's resume_from_checkpoint
+        (vital/vital/runner.py:91-92)."""
         cfg = self.config
         rng = jax.random.key(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
         state = self.init_state(rng)
+        start_epoch = 0
+        if resume_from:
+            from contouring_uncertainty_tpu.train.checkpoint import (
+                load_meta,
+                restore_checkpoint,
+            )
+
+            restored = restore_checkpoint(resume_from, {
+                "params": state.params, "opt_state": state.opt_state,
+            })
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"])
+            start_epoch = int(load_meta(resume_from).get("epoch", -1)) + 1
         self._build_steps()
 
         run_dir = Path(cfg.save_path) / str(cfg.seed)
@@ -136,7 +155,8 @@ class Trainer:
             except Exception:
                 prefetcher = None
 
-        for epoch in range(max_epochs):
+        last_ckpt = run_dir / f"{cfg.name}_last.ckpt"
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             train_logs = []
             train_iter = (prefetcher.epoch() if prefetcher is not None
@@ -166,6 +186,16 @@ class Trainer:
                     break
                 val_logs.append(self._eval_step(state, shard_batch(batch, self.mesh)))
 
+            # Failure detection: a whole epoch of non-finite losses means the
+            # run has diverged — stop and keep the best checkpoint rather
+            # than burning the remaining patience budget (SURVEY §5: the
+            # reference had no in-process failure detection).
+            epoch_losses = np.array([float(l["loss"]) for l in train_logs])
+            if len(epoch_losses) and not np.isfinite(epoch_losses).any():
+                print(f"[trainer] aborting: all train losses non-finite at epoch {epoch}")
+                self.history.append({"epoch": epoch, "diverged": 1.0})
+                break
+
             row = {"epoch": epoch, "time": time.time() - t0}
             row.update({f"train/{k}": float(np.mean([float(l[k]) for l in train_logs]))
                         for k in train_logs[0]})
@@ -185,6 +215,16 @@ class Trainer:
                 epochs_since_best = 0
             else:
                 epochs_since_best += 1
+            if cfg.save_every and (epoch + 1) % cfg.save_every == 0:
+                save_checkpoint(
+                    last_ckpt,
+                    {"params": jax.tree.map(jnp.copy, state.params),
+                     "opt_state": jax.tree.map(
+                         lambda x: jnp.copy(x) if hasattr(x, "dtype") else x,
+                         state.opt_state)},
+                    meta={"task_name": self.task.task_name, "epoch": epoch,
+                          "seed": cfg.seed},
+                )
             if epochs_since_best > cfg.patience and epoch + 1 >= cfg.min_epochs:
                 break
 

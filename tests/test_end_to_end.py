@@ -163,3 +163,30 @@ def test_lv_myo_contour_extraction(camus_h5):
     fg = np.stack([xs, ys], -1)
     for pt in epi:
         assert np.linalg.norm(fg - pt, axis=1).min() < 6.0
+
+
+def test_checkpoint_resume(camus_h5, tmp_path):
+    """Periodic full-state checkpoints restore params + optimizer state + epoch."""
+    data = CamusContourData(camus_h5, fold=5)
+    task = DSNTAleatoric(data_params=data.data_params, model_kwargs=SMALL_MODEL)
+    cfg = TrainerConfig(batch_size=8, max_epochs=4, lr=1e-3, seed=2,
+                        save_path=str(tmp_path), name="resume", augment=False,
+                        save_every=2, native_loader=False)
+    trainer = Trainer(task, cfg, mesh=make_mesh())
+    train = data.train_arrays("train")
+    val = data.train_arrays("val")
+    trainer.fit(train, val)
+    last = tmp_path / "2" / "resume_last.ckpt"
+    assert last.exists()
+    from contouring_uncertainty_tpu.train.checkpoint import load_meta
+
+    assert load_meta(last)["epoch"] == 3
+
+    # Resume continues from epoch 4 and only runs epochs 4-5.
+    cfg2 = TrainerConfig(batch_size=8, max_epochs=6, lr=1e-3, seed=2,
+                         save_path=str(tmp_path), name="resume2", augment=False,
+                         save_every=0, native_loader=False)
+    trainer2 = Trainer(task, cfg2, mesh=make_mesh())
+    trainer2.fit(train, val, resume_from=str(last))
+    epochs = [row["epoch"] for row in trainer2.history]
+    assert epochs == [4, 5]
