@@ -166,12 +166,15 @@ class CamusContourData:
 
     @property
     def contour_groups(self):
-        """(start, end, label) landmark slices for the predict pipeline."""
+        """(start, end, label) landmark slices for the predict pipeline.
+
+        Order = painting order (later groups overwrite): the epicardium's
+        filled polygon CONTAINS the LV cavity, so MYO must be painted first
+        and the LV last."""
         k = self.nb_points
-        groups = [(0, k, int(Label.LV))]
         if self._include_myo:
-            groups.append((k, 2 * k, int(Label.MYO)))
-        return tuple(groups)
+            return ((k, 2 * k, int(Label.MYO)), (0, k, int(Label.LV)))
+        return ((0, k, int(Label.LV)),)
 
     @property
     def data_params(self) -> DataParams:

@@ -56,9 +56,12 @@ def model_kwargs_from_cfg(model_cfg: Dict) -> Dict:
         kwargs["strides"] = tuple(tuple(s) for s in model_cfg["strides"])
     for flag in ("drop_block", "deep_supervision", "residual", "attention",
                  "out_seg_bias", "ssn_rank", "bottleneck_out", "init_channels",
-                 "dropout", "n_heads"):
+                 "dropout", "n_heads", "base", "layers", "encoder_relu",
+                 "decoder_relu"):
         if flag in model_cfg:
             kwargs[flag] = model_cfg[flag]
+    if "layers" in kwargs:
+        kwargs["layers"] = tuple(kwargs["layers"])
     if "dtype" in model_cfg:
         kwargs["dtype"] = _DTYPES[model_cfg["dtype"]]
     return kwargs

@@ -4,8 +4,16 @@ from contouring_uncertainty_tpu.models.unet import ConfidenceNet, UNet
 
 
 def build_backbone(name: str, input_shape, output_shape, **kwargs):
-    """Model-zoo dispatch (the counterpart of Hydra's task/model group)."""
+    """Model-zoo dispatch (the counterpart of Hydra's task/model group).
+
+    Each backbone receives only the config keys it understands, so the shared
+    model-config surface (dropout, ssn_rank, ...) never crashes a backbone
+    that doesn't take a given knob."""
     if name in ("unet2", "unet"):
+        allowed = {"kernels", "strides", "negative_slope", "deep_supervision",
+                   "attention", "drop_block", "residual", "out_seg_bias",
+                   "ssn_rank", "bottleneck_out", "dtype"}
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
         return UNet(input_shape=input_shape, output_shape=output_shape, **kwargs)
     if name in ("deeplabv3", "resnet"):
         from contouring_uncertainty_tpu.models.deeplabv3 import DeepLabV3

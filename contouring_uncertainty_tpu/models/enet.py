@@ -70,7 +70,9 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         internal = max(self.channels // self.internal_ratio, 1)
-        act = _act(self.relu)
+        # A fresh activation module per use site: PReLU has a per-channel
+        # param, so it cannot be shared across tensors of different widths.
+        act = lambda h: _act(self.relu)(h)
         ext = x
 
         # 1x1 projection (2x2/2 conv when downsampling).

@@ -45,9 +45,15 @@ def get_or_fit_sequence_prior(data, path: Optional[str]) -> ShapePrior:
     pairs = []
     for view in data.predict_views("train"):
         inst = view.get(Tags.instants) or {}
-        if "ED" in inst and "ES" in inst:
+        if "ED" in inst and "ES" in inst and inst["ED"] != inst["ES"]:
             c = np.asarray(view[Tags.contour])
             pairs.append(np.concatenate([c[inst["ED"]], c[inst["ES"]]]))
+    if not pairs:
+        raise ValueError(
+            "sequence_sampler=True requires views with distinct ED and ES "
+            "instants to fit the two-instant shape prior, but none were found "
+            "in this dataset's train split."
+        )
     prior = fit_shape_prior(np.stack(pairs))
     if path:
         p = Path(path)
@@ -211,7 +217,10 @@ class AleatoricPredictor:
 
         pred_samples = self._rasterize_labelmap(samples, h, w)  # (N, T_e, T_a, H, W)
         if self.soft_mask:
-            pred_samples = _gaussian_blur(pred_samples)
+            # Soft masks are only meaningful for a single binary structure
+            # (reference convert_to_mask soft_mask path is binary-only too).
+            assert len(self.groups) == 1, "soft_mask requires a single structure"
+            pred_samples = _gaussian_blur((pred_samples > 0).astype(jnp.float32))
 
         def group_umap(fn):
             total = None
@@ -241,13 +250,16 @@ class AleatoricPredictor:
             )(mu[:, a:b], cov[:, a:b]))
             if len(self.groups) == 1:
                 label = float(self.groups[0][2])
-                binary_mean = (pred_samples > 0).astype(jnp.float32).mean(axis=(1, 2))
-                pred = (jnp.where(binary_mean > 0.5, label, 0.0)).astype(jnp.int32)
+                occupancy = (pred_samples if self.soft_mask
+                             else (pred_samples > 0).astype(jnp.float32))
+                pred = (jnp.where(occupancy.mean(axis=(1, 2)) > 0.5, label, 0.0)
+                        ).astype(jnp.int32)
             else:
                 # Multi-structure: label maps can't be meaningfully averaged;
                 # use the fused-mean contour's rasterization as the prediction.
                 pred = self._rasterize_labelmap(mu, h, w).astype(jnp.int32)
-        entropy = sample_entropy_map((pred_samples > 0).astype(jnp.float32))
+        occ = pred_samples if self.soft_mask else (pred_samples > 0).astype(jnp.float32)
+        entropy = sample_entropy_map(occ)
         point_u, instant_u = point_instant_uncertainty(
             mu, cov, post_cov, umap, entropy, pred, groups=self.groups
         )
@@ -306,6 +318,12 @@ class SegPredictor:
                 mean_probs * jnp.log(mean_probs + 1e-12), axis=1
             ) / jnp.log(float(c))
             samples = jnp.argmax(probs, axis=3).astype(jnp.float32)
+            # Morphological cleanup on the foreground union per sample (the
+            # reference applies fill-holes + largest-blob per MC sample).
+            union = postprocess_batch((samples > 0).astype(jnp.float32))
+            samples = samples * union
+            pred = (pred * postprocess_batch((pred > 0).astype(jnp.float32))
+                    ).astype(jnp.int32)
         pad = self.BORDER_PAD
         h, w = entropy.shape[-2:]
         border = jnp.zeros((h, w), bool).at[pad:-pad, pad:-pad].set(True)
@@ -400,6 +418,12 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
     results = []
     for vi, view in enumerate(data.predict_views(split)):
         img = jnp.asarray(view[Tags.img])
+        if sequence and img.shape[0] != 2:
+            raise ValueError(
+                f"sequence_sampler=True expects exactly 2 instants (ED, ES) "
+                f"per view; view '{view[Tags.id]}' has {img.shape[0]} frames. "
+                f"Disable task.sequence_sampler or restrict views to ED/ES."
+            )
         out = predictor(variables, img, jax.random.fold_in(key, vi))
         out = jax.tree.map(np.asarray, out)
         res = BatchResult(

@@ -108,6 +108,11 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
         keys = jax.random.split(key, n)
         return jax.vmap(lambda k: self._sample_pair(k, mu, cov, alpha, seq_mu_t, seq_q))(keys)
 
+    def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):
+        """Predictor layout: mu (N=2, T_e, K, 2) -> samples (2, T_e, n, K, 2),
+        each epistemic forward's ED/ES pair sampled jointly."""
+        return _sequence_sample_batch(self, key, mu, cov, alpha, n)
+
 
 class SequenceSkewPSMSampler(SequencePSMSampler):
     """Skew sequence sampler: skew single-instant sampling + per-prediction
@@ -154,13 +159,7 @@ class SequenceSkewPSMSampler(SequencePSMSampler):
 
 
 def _sequence_sample_batch(sampler, key, mu, cov, alpha=None, n: int = 1):
-    """Batched sequence sampling with the predictor's layout.
-
-    mu (N=2, T_e, K, 2) per view -> samples (2, T_e, n, K, 2): each epistemic
-    forward's ED/ES pair is sampled jointly through the sequence prior.
-    """
-    import jax
-
+    """Shared implementation of SequencePSMSampler.sample_batch."""
     assert mu.shape[0] == 2, "sequence sampling expects an (ED, ES) view"
     t_e = mu.shape[1]
     keys = jax.random.split(key, t_e)
@@ -181,9 +180,4 @@ def _sequence_sample_batch(sampler, key, mu, cov, alpha=None, n: int = 1):
     return jnp.transpose(out, (2, 0, 1, 3, 4))
 
 
-SequencePSMSampler.sample_batch = (
-    lambda self, key, mu, cov, alpha=None, n=1: _sequence_sample_batch(self, key, mu, cov, alpha, n)
-)
-SequenceSkewPSMSampler.sample_batch = (
-    lambda self, key, mu, cov, alpha=None, n=1: _sequence_sample_batch(self, key, mu, cov, alpha, n)
-)
+

@@ -23,11 +23,17 @@ class EpistemicUncertainty(DSNTAleatoric):
     def build_model(self):
         # A pure-epistemic task is meaningless without stochastic forwards:
         # force MC dropout on when t_e > 1 (the reference patches dropout ON
-        # for every task whenever t_e > 1, uncertainty.py:75 — but with
-        # drop_block=False the model has no dropout modules at all, so the
-        # flag itself must be forced here).
-        if self.t_e > 1 and self.model_name in ("unet2", "unet"):
-            self.model_kwargs["drop_block"] = True
+        # for every task whenever t_e > 1, uncertainty.py:75 — but without
+        # dropout modules the model has nothing to patch, so the flag itself
+        # must be forced here, per backbone).
+        if self.t_e > 1:
+            if self.model_name in ("unet2", "unet"):
+                self.model_kwargs["drop_block"] = True
+            elif self.model_name in ("enet", "deeplabv3", "resnet"):
+                if not self.model_kwargs.get("dropout"):
+                    print("[epistemic] forcing model dropout=0.1 (t_e > 1 "
+                          "requires stochastic forwards)")
+                    self.model_kwargs["dropout"] = 0.1
         return super().build_model()
 
     def predict(self, model, variables, img, rng=None):

@@ -150,7 +150,8 @@ def test_lv_myo_contour_extraction(camus_h5):
     train = data.train_arrays("train")
     assert train[Tags.contour].shape[1:] == (42, 2)
     assert data.data_params.out_shape == (42, 2)
-    assert data.contour_groups == ((0, 21, 1), (21, 42, 2))
+    # Paint order: MYO hull first, LV (nested) last so it isn't overwritten.
+    assert data.contour_groups == ((21, 42, 2), (0, 21, 1))
     endo = train[Tags.contour][0, :21]
     epi = train[Tags.contour][0, 21:]
     # The epicardium apex sits above (smaller y) the endo apex.

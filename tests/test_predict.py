@@ -155,3 +155,21 @@ def test_multiclass_seg_predictor():
     assert set(np.unique(pred)) <= {0, 1, 2, 3}
     # entropy is a proper base-C entropy in [0, 1].
     assert 0.0 <= ent.min() and ent.max() <= 1.0 + 1e-5
+
+
+def test_lv_myo_predict_paint_order(tmp_path):
+    """Nested structures: the LV must survive the MYO hull painting."""
+    from contouring_uncertainty_tpu.data.config import Label
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=13)
+    data = CamusContourData(h5, fold=5, labels=(Label.BG, Label.LV, Label.MYO))
+    task = DSNTAleatoric(data_params=data.data_params, t_a=2, t_e=1,
+                         model_kwargs=dict(SMALL_MODEL))
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")}}
+    results = run_predict(task, variables, data, cfg)
+    pred = results[0].pred
+    # Both labels present: the LV (painted last) is not erased by the MYO hull.
+    assert (pred == int(Label.LV)).sum() > 0, "LV erased by MYO painting order"
+    assert (pred == int(Label.MYO)).sum() > 0

@@ -150,3 +150,15 @@ def test_deeplabv3_output_and_heads():
     o1 = ssn.apply(v2, x, deterministic=False, rngs={"dropout": jax.random.key(1)})
     o2 = ssn.apply(v2, x, deterministic=False, rngs={"dropout": jax.random.key(2)})
     assert not np.allclose(np.asarray(o1["out"]), np.asarray(o2["out"]))
+
+
+def test_enet_prelu_mode():
+    from contouring_uncertainty_tpu.models.enet import Enet
+
+    model = Enet(input_shape=(1, 32, 32), output_shape=(2, 32, 32),
+                 encoder_relu=False, decoder_relu=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 1, 32, 32)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["out"].shape == (1, 2, 32, 32)
+    assert np.isfinite(np.asarray(out["out"])).all()
