@@ -148,7 +148,7 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
         esv_mc = np.asarray(esv_mc).reshape(te, ta)
         ef_mc = (edv_mc - esv_mc) / edv_mc
 
-        def one_vol(m, inst_pair):
+        def one_vol(inst_pair):
             return C.compute_left_ventricle_volumes(
                 jnp.asarray(a2c.pred[inst_pair[0]] != 0, jnp.float32),
                 jnp.asarray(a2c.pred[inst_pair[1]] != 0, jnp.float32), vs2,
@@ -156,7 +156,7 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
                 jnp.asarray(a4c.pred[inst_pair[3]] != 0, jnp.float32), vs4,
             )
 
-        pred_edv, pred_esv = map(float, one_vol(None, (ed2, es2, ed4, es4)))
+        pred_edv, pred_esv = map(float, one_vol((ed2, es2, ed4, es4)))
         pred_ef = (pred_edv - pred_esv) / pred_edv if pred_edv else np.nan
         if a2c.gt is not None and a4c.gt is not None:
             gt_edv, gt_esv = map(float, np.asarray(C.compute_left_ventricle_volumes(
