@@ -26,9 +26,21 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
-    """1D data mesh (or 2D data x model when model_parallel > 1)."""
+    """1D data mesh (or 2D data x model when model_parallel > 1).
+
+    Raises if fewer than ``n_devices`` devices exist — a silently truncated
+    mesh would let an "8-chip" validation pass vacuously on a 1-chip host.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} "
+                f"{jax.default_backend()} device(s) are visible; refusing to "
+                "silently build a smaller mesh. For CPU-hosted virtual chips "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "jax.config.update('jax_platforms', 'cpu') before first use."
+            )
         devices = devices[:n_devices]
     n = len(devices)
     assert n % model_parallel == 0, (n, model_parallel)

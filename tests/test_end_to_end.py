@@ -166,6 +166,57 @@ def test_lv_myo_contour_extraction(camus_h5):
         assert np.linalg.norm(fg - pt, axis=1).min() < 6.0
 
 
+def test_cross_device_equivalence(camus_h5):
+    """The actual correctness property of data parallelism: one train step on
+    mesh(1) vs mesh(8) with the SAME global batch and rng must produce the
+    same loss and updated params (f32 tolerance — only the psum's summation
+    order may differ)."""
+    from contouring_uncertainty_tpu.parallel import shard_batch
+
+    data = CamusContourData(camus_h5, fold=5)
+    task = DSNTAleatoric(data_params=data.data_params, model_kwargs=SMALL_MODEL)
+    train = data.train_arrays("train")
+    batch_np = {
+        k: v[:8] for k, v in train.items()
+        if isinstance(v, np.ndarray) and v.dtype != object and v.dtype.kind != "U"
+    }
+
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2,) + task.data_params.in_shape))
+
+    @jax.jit
+    def loss_and_grads(params, batch):
+        def loss_fn(p):
+            return task.loss(model, {"params": p}, batch, jax.random.key(1),
+                             train=True)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads
+
+    results = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        from contouring_uncertainty_tpu.parallel import replicate
+
+        params = replicate(variables["params"], mesh)
+        batch = shard_batch(batch_np, mesh)
+        loss, grads = loss_and_grads(params, batch)
+        results[n] = (float(loss), jax.tree.map(np.asarray, jax.device_get(grads)))
+
+    loss1, g1 = results[1]
+    loss8, g8 = results[8]
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    # Gradients must match within f32 reduction-order tolerance. (Comparing
+    # post-Adam params instead would be chaotic: Adam normalizes near-zero
+    # grads to +-lr, so summation-order noise flips signs by construction.)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        # Per-leaf absolute tolerance: 1e-4 of the leaf's gradient magnitude,
+        # floored at 1e-6 so zero-gradient leaves (pure f32 summation noise)
+        # don't fail on elementwise relative error.
+        atol = 1e-4 * float(max(np.abs(a).max(), np.abs(b).max())) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=0, atol=atol)
+
+
 def test_checkpoint_resume(camus_h5, tmp_path):
     """Periodic full-state checkpoints restore params + optimizer state + epoch."""
     data = CamusContourData(camus_h5, fold=5)
