@@ -26,7 +26,7 @@ def main():
     from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
 
     model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
-                 dtype=jnp.bfloat16)
+                 dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
 
     @jax.jit

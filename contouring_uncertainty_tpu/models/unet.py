@@ -195,18 +195,25 @@ class UpsampleBlock(nn.Module):
 
 
 class OutputBlock(nn.Module):
-    """1x1 conv head (reference OutputBlock; bias off by default)."""
+    """1x1 conv head (reference OutputBlock; bias off by default).
+
+    `out_dtype` controls the emitted dtype: f32 by default; the flagship
+    serving path emits bf16 so the fused Pallas DSNT kernel can stream the
+    heatmaps without an extra f32 cast pass (the head's f32 write alone is
+    ~10 us/frame of HBM traffic at 256^2 x K21).
+    """
 
     features: int
     use_bias: bool = False
     dtype: Any = jnp.float32
+    out_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(
             self.features, (1, 1), use_bias=self.use_bias,
             kernel_init=_KAIMING, dtype=self.dtype,
-        )(x).astype(jnp.float32)
+        )(x).astype(self.out_dtype)
 
 
 class ConfidenceNet(nn.Module):
@@ -251,6 +258,7 @@ class UNet(nn.Module):
     ssn_rank: int = 0
     bottleneck_out: bool = False
     dtype: Any = jnp.float32
+    head_dtype: Any = jnp.float32  # main-head output dtype (bf16 on serving)
 
     @property
     def filters(self):
@@ -294,7 +302,8 @@ class UNet(nn.Module):
             decoder_outputs.append(out)
 
         upsample_out = out
-        main = OutputBlock(n_classes, self.out_seg_bias, dtype=self.dtype)(out)
+        main = OutputBlock(n_classes, self.out_seg_bias, dtype=self.dtype,
+                           out_dtype=self.head_dtype)(out)
 
         result = {"out": jnp.transpose(main, (0, 3, 1, 2))}
 

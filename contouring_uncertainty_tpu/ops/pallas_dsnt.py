@@ -1,20 +1,24 @@
-"""Fused DSNT Pallas kernel: softmax + all spatial moments in ONE pass.
+"""Fused DSNT Pallas kernel: online softmax + all spatial moments, ONE pass.
 
-The XLA path (ops/dsnt.py) lowers to ~5 HBM passes over the (B, K, H, W)
-heatmap tensor (max, exp/sum, normalize, moment matmul); for the flagship
-256x256/K=21 model that is ~45 us/frame of pure bandwidth. This kernel reads
-each heatmap row exactly once: per grid step a block of R rows sits in VMEM,
-the stable softmax runs in-register, and the 7 monomial moment columns are
-generated from iota on the fly (never stored in HBM).
+The XLA path (ops/dsnt.py) lowers to several HBM passes over the (B, K, H, W)
+heatmap tensor (max, exp/sum, normalize, moment matmul) — measured 47 us/frame
+at batch 128 on v5e for the flagship 21x256^2 head. This kernel streams the
+flat (B*K, H*W) logits through VMEM exactly once: per grid step a
+(ROWS, LANE_CHUNK) tile is softmaxed *online* (flash-attention-style running
+max/rescale) and its eight monomial moment partials are accumulated in a VMEM
+scratch, so the heatmaps are read once and nothing else touches HBM.
 
-Backward (for training) recomputes the softmax in plain XLA — the custom VJP
-keeps the op differentiable with the standard softmax-moment adjoint.
+Layout notes (the round-1 3-D kernel took ~6 min of Mosaic compile and is
+replaced by this): blocks are strictly 2-D (sublanes = heatmap rows,
+lanes = pixel chunk), all reductions are single-axis, and the monomial basis
+arrives as a precomputed (HW, 8) operand streamed chunk-by-chunk alongside the
+logits (its traffic is 8/K of the logits' — negligible).
 
-STATUS: opt-in. Measured on v5e (batch 128 x K21 x 256^2): XLA baseline
-6.07 ms, lean-XLA path (ops/dsnt.py logits_to_pixel_gaussians, the default)
-5.0 ms; this kernel's separable-moment variant is numerically correct but
-Mosaic takes ~6 min to compile the 3-D 256^2 block, so it is not wired into
-the default path. Revisit with a 2-D layout or compilation cache.
+Capability parity: contour_uncertainty/task/regression/dsnt/utils.py:7-47
+(dsnt moments incl. third central moments for the skew head).
+
+Backward recomputes the softmax in plain XLA — the custom VJP keeps the op
+differentiable with the standard softmax-moment adjoint.
 """
 
 from __future__ import annotations
@@ -23,17 +27,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from contouring_uncertainty_tpu.ops.coords import normalized_to_pixel
 
 _N_MOM = 8  # [1, x, y, x^2, y^2, xy, x^3, y^3]
-_ROWS = 8  # heatmap rows (B*K) per grid step
+_ROWS = 256  # heatmap rows (B*K) per grid step
+_LANES = 4096  # pixels per grid step (f32 block 4 MB; 2x-buffered < 16 MB VMEM)
 
 
 def _basis_cols(height: int, width: int, dtype):
-    """(HW,) monomial columns generated from iota (computed in-kernel)."""
+    """(1, HW) normalized cell-center coordinate rows."""
     hw = height * width
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
     xs = ((2.0 * (idx % width).astype(dtype) + 1.0) / width) - 1.0
@@ -41,87 +47,116 @@ def _basis_cols(height: int, width: int, dtype):
     return xs, ys
 
 
-def _dsnt_kernel(x_ref, out_ref, *, height: int, width: int):
-    """Separable-moment kernel over a (R, H, W) block.
+def _basis_matrix(height: int, width: int) -> jnp.ndarray:
+    """(HW, 8) static monomial basis [1, x, y, x^2, y^2, xy, x^3, y^3]."""
+    xs, ys = _basis_cols(height, width, jnp.float32)
+    cols = jnp.concatenate(
+        [jnp.ones_like(xs), xs, ys, xs * xs, ys * ys, xs * ys, xs**3, ys**3],
+        axis=0,
+    )  # (8, HW)
+    return cols.T
 
-    The monomials factor over the grid: x depends only on the column, y only
-    on the row. So every moment reduces to small follow-up reductions of the
-    row-marginal (R, H), column-marginal (R, W) and x-weighted row-marginal —
-    ~8 VPU ops per element instead of 8 full-plane reductions.
+
+def _split_basis_matrix(height: int, width: int) -> jnp.ndarray:
+    """(HW, 16) bf16 split basis: columns [b_hi | b_lo] with
+    b_hi + b_lo == b exactly-ish (two bf16 limbs of the f32 basis)."""
+    b = _basis_matrix(height, width)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([b_hi, b_lo], axis=1)
+
+
+def _dsnt_kernel(x_ref, b_ref, out_ref, m_scr, t_scr):
+    """Online softmax-moment accumulation over lane chunks.
+
+    x_ref: (ROWS, LANES) logits chunk; b_ref: (LANES, 16) split basis chunk.
+    m_scr: (ROWS, 1) running max; t_scr: (ROWS, 8) running unnormalized
+    moment sums (column 0 doubles as the softmax normalizer because basis
+    column 0 is the constant 1).
     """
-    x = x_ref[:]  # (R, H, W) f32
-    # Single-axis reductions only (multi-axis reduce lowers via reshape,
-    # which crashes Mosaic's layout inference on 3-D vectors).
-    m2 = jnp.max(x, axis=2, keepdims=True)  # (R, H, 1)
-    m = jnp.max(m2, axis=1, keepdims=True)  # (R, 1, 1)
-    e = jnp.exp(x - m)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+    x = x_ref[:].astype(jnp.float32)
+    bm = jnp.max(x, axis=1, keepdims=True)  # (ROWS, 1)
 
-    xs = ((2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
-           .astype(jnp.float32) + 1.0) / width) - 1.0  # (1, 1, W)
-    # Generate the 2-D coordinate rows directly (no reshape/indexing of
-    # vectors in-kernel — Mosaic's layout inference chokes on them).
-    xs_w = ((2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-             .astype(jnp.float32) + 1.0) / width) - 1.0  # (1, W)
-    ys_col = ((2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, height), 1)
-               .astype(jnp.float32) + 1.0) / height) - 1.0  # (1, H)
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = bm
+        t_scr[:] = jnp.zeros_like(t_scr)
 
-    row_marg = jnp.sum(e, axis=2)            # (R, H): sum over columns
-    col_marg = jnp.sum(e, axis=1)            # (R, W): sum over rows
-    ex_row = jnp.sum(e * xs, axis=2)         # (R, H): x-weighted row marginal
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, bm)
+    alpha = jnp.exp(m_old - m_new)
+    # exp in bf16 via the hardware exp2: the moment matmul rounds its terms
+    # to bf16 on the MXU anyway, so a bf16 exponential adds no extra error.
+    e = jnp.exp2((x - m_new) * 1.4426950408889634).astype(jnp.bfloat16)
 
-    # Keep all intermediates 2-D (Mosaic layout requirement).
-    s = jnp.sum(row_marg, axis=1, keepdims=True)  # (R, 1)
-    mom_x = jnp.sum(col_marg * xs_w, axis=1, keepdims=True)
-    mom_x2 = jnp.sum(col_marg * xs_w * xs_w, axis=1, keepdims=True)
-    mom_x3 = jnp.sum(col_marg * xs_w ** 3, axis=1, keepdims=True)
-    mom_y = jnp.sum(row_marg * ys_col, axis=1, keepdims=True)
-    mom_y2 = jnp.sum(row_marg * ys_col * ys_col, axis=1, keepdims=True)
-    mom_y3 = jnp.sum(row_marg * ys_col ** 3, axis=1, keepdims=True)
-    mom_xy = jnp.sum(ex_row * ys_col, axis=1, keepdims=True)
+    b = b_ref[:]  # (LANES, 16) split basis [b_hi | b_lo], bf16
+    # Moment partials as ONE MXU matmul: reads e from VMEM once. (The
+    # 8-separate-lane-reduction VPU form re-reads e per moment and measured
+    # ~8x slower despite the MXU N-padding here.) The basis is split into
+    # bf16 hi+lo halves (b = b_hi + b_lo exactly in f32) so the static
+    # operand contributes ~16 mantissa bits; N pads to 128 either way.
+    part16 = jnp.dot(e, b, preferred_element_type=jnp.float32)  # (ROWS, 16)
+    part = part16[:, :_N_MOM] + part16[:, _N_MOM:]
 
-    raw = jnp.concatenate(
-        [s, mom_x, mom_y, mom_x2, mom_y2, mom_xy, mom_x3, mom_y3], axis=1
-    )  # (R, 8)
-    out_ref[:] = raw / s
+    t_scr[:] = t_scr[:] * alpha + part
+    m_scr[:] = m_new
+
+    @pl.when(c == n_c - 1)
+    def _finalize():
+        t = t_scr[:]
+        out_ref[:] = t / t[:, 0:1]
 
 
-def _raw_moments_pallas(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """(Rows, HW) logits -> (Rows, 8) raw moments, one HBM pass."""
+def _raw_moments_pallas(
+    flat_logits: jnp.ndarray, height: int, width: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(Rows, HW) logits -> (Rows, 8) normalized raw moments, one HBM pass."""
     rows, hw = flat_logits.shape
-    assert rows % _ROWS == 0
-    x3 = flat_logits.reshape(rows, height, width)
-    grid = (rows // _ROWS,)
-    return pl.pallas_call(
-        partial(_dsnt_kernel, height=height, width=width),
-        out_shape=jax.ShapeDtypeStruct((rows, _N_MOM), jnp.float32),
+    block_rows = min(_ROWS, rows) if interpret else _ROWS
+    rows_p = -(-rows // block_rows) * block_rows
+    if rows_p != rows:
+        flat_logits = jnp.pad(flat_logits, ((0, rows_p - rows), (0, 0)))
+    lanes = min(_LANES, hw)
+    while hw % lanes:
+        lanes //= 2
+    assert hw % lanes == 0, (hw, lanes)
+    basis = _split_basis_matrix(height, width)
+    grid = (rows_p // block_rows, hw // lanes)
+    out = pl.pallas_call(
+        _dsnt_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_p, _N_MOM), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROWS, height, width), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_rows, lanes), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, 2 * _N_MOM), lambda r, c: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS, _N_MOM), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(x3)
+        out_specs=pl.BlockSpec(
+            (block_rows, _N_MOM), lambda r, c: (r, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, 1), jnp.float32),
+            pltpu.VMEM((block_rows, _N_MOM), jnp.float32),
+        ],
+        interpret=interpret,
+    )(flat_logits, basis)
+    return out[:rows]
 
 
 def _raw_moments_xla(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Reference XLA path (identical math), used for the backward recompute
-    and as the interpret-mode/CPU fallback."""
-    p = jax.nn.softmax(flat_logits, axis=-1)
-    xs, ys = _basis_cols(height, width, flat_logits.dtype)
-    cols = jnp.concatenate(
-        [jnp.ones_like(xs), xs, ys, xs * xs, ys * ys, xs * ys,
-         xs ** 3, ys ** 3], axis=0
-    )  # (8, HW)
-    return jnp.dot(p, cols.T, precision=jax.lax.Precision.HIGHEST)
+    """Reference XLA path (identical math): backward recompute + CPU fallback."""
+    p = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=-1)
+    return jnp.dot(p, _basis_matrix(height, width),
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def dsnt_raw_moments(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Differentiable fused raw moments. flat_logits (Rows, H*W) -> (Rows, 8)."""
-    rows = flat_logits.shape[0]
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu and rows % _ROWS == 0:
+    if jax.default_backend() != "cpu" and flat_logits.shape[1] % 128 == 0:
         return _raw_moments_pallas(flat_logits, height, width)
     return _raw_moments_xla(flat_logits, height, width)
 
@@ -132,15 +167,11 @@ def _fwd(flat_logits, height, width):
 
 def _bwd(height, width, flat_logits, g):
     # d/dlogits of m_j = sum_i p_i b_ij:  dx = p * (B g - sum_j(m_j g_j)).
-    p = jax.nn.softmax(flat_logits, axis=-1)
-    xs, ys = _basis_cols(height, width, flat_logits.dtype)
-    cols = jnp.concatenate(
-        [jnp.ones_like(xs), xs, ys, xs * xs, ys * ys, xs * ys, xs ** 3, ys ** 3],
-        axis=0,
-    )  # (8, HW)
-    bg = jnp.dot(g, cols, precision=jax.lax.Precision.HIGHEST)  # (Rows, HW)
+    p = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=-1)
+    bg = jnp.dot(g, _basis_matrix(height, width).T,
+                 precision=jax.lax.Precision.HIGHEST)  # (Rows, HW)
     inner = jnp.sum(p * bg, axis=-1, keepdims=True)
-    return (p * (bg - inner),)
+    return ((p * (bg - inner)).astype(flat_logits.dtype),)
 
 
 dsnt_raw_moments.defvjp(_fwd, _bwd)
@@ -148,10 +179,10 @@ dsnt_raw_moments.defvjp(_fwd, _bwd)
 
 @partial(jax.jit, static_argnames=("use_covar",))
 def heatmaps_to_pixel_gaussians_fused(logits: jnp.ndarray, use_covar: bool = True):
-    """Drop-in fused variant of ops.dsnt.heatmaps_to_pixel_gaussians that never
+    """Drop-in fused variant of ops.dsnt.logits_to_pixel_gaussians that never
     materializes the softmax to HBM. Returns (mu, sigma) only."""
     *lead, height, width = logits.shape
-    flat = logits.reshape(-1, height * width).astype(jnp.float32)
+    flat = logits.reshape(-1, height * width)
     raw = dsnt_raw_moments(flat, height, width).reshape(*lead, _N_MOM)
     ex, ey = raw[..., 1], raw[..., 2]
     var = jnp.stack([raw[..., 3] - ex * ex, raw[..., 4] - ey * ey], axis=-1)

@@ -159,3 +159,47 @@ def test_pallas_fused_wrapper_matches_base_path():
     g1 = jax.grad(f)(logits)
     g0 = jax.grad(f0)(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+
+def test_pallas_kernel_interpret_parity_sharp_heatmaps():
+    """The actual Pallas online-softmax kernel (interpret mode on CPU) vs the
+    XLA reference on trained-model-like sharp Gaussian heatmaps.
+
+    The kernel computes its moment matmul with bf16 terms (split-basis hi+lo
+    limbs), so tolerances are set by bf16 term rounding: ~1e-3 px on means,
+    ~1e-3 relative on variances — far inside the <1% NLL parity budget.
+    """
+    from contouring_uncertainty_tpu.ops.pallas_dsnt import (
+        _raw_moments_pallas,
+        _raw_moments_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    maps = []
+    for _ in range(24):
+        cx, cy = rng.uniform(8, W - 8), rng.uniform(8, H - 8)
+        sig = rng.uniform(1.5, 5.0)
+        maps.append(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+    x = jnp.asarray(np.stack(maps).reshape(24, H * W).astype(np.float32))
+
+    a = np.asarray(_raw_moments_pallas(x, H, W, interpret=True))
+    b = np.asarray(_raw_moments_xla(x, H, W))
+
+    def derive(r):
+        ex, ey = r[:, 1], r[:, 2]
+        return ex, ey, r[:, 3] - ex * ex, r[:, 4] - ey * ey
+
+    exa, eya, vxa, vya = derive(a)
+    exb, eyb, vxb, vyb = derive(b)
+    # means within ~1e-3 px (normalized units * W/2 = px)
+    assert np.abs(exa - exb).max() * W / 2 < 5e-3
+    assert np.abs(eya - eyb).max() * W / 2 < 5e-3
+    # variances within 0.5% relative
+    np.testing.assert_allclose(vxa, vxb, rtol=5e-3)
+    np.testing.assert_allclose(vya, vyb, rtol=5e-3)
+    # bf16 input path
+    a16 = np.asarray(_raw_moments_pallas(x.astype(jnp.bfloat16), H, W, interpret=True))
+    b16 = np.asarray(_raw_moments_xla(x.astype(jnp.bfloat16), H, W))
+    np.testing.assert_allclose(a16[:, 1:3], b16[:, 1:3], atol=2e-4)
