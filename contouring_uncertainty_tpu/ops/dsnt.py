@@ -172,7 +172,14 @@ def logits_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
         e = jnp.exp(flat - m)
         raw = jnp.dot(e, basis, precision=jax.lax.Precision.HIGHEST)
         raw = (raw / raw[:, :1]).reshape(*lead, 6)
+    return raw6_to_pixel_gaussians(raw, height, width, use_covar)
 
+
+def raw6_to_pixel_gaussians(raw: jnp.ndarray, height: int, width: int,
+                            use_covar: bool = True):
+    """Normalized raw moments [1, x, y, x^2, y^2, xy] (..., 6) in normalized
+    coordinates -> pixel-space (mu, Sigma) with the shared PD guard. Used by
+    both DSNT paths and the fused serving engine's epilogue."""
     ex, ey = raw[..., 1], raw[..., 2]
     var = jnp.stack([raw[..., 3] - ex * ex, raw[..., 4] - ey * ey], axis=-1)
     cov = raw[..., 5] - ex * ey
