@@ -38,6 +38,19 @@ class ViewData:
     image_quality: str = "Unknown"
 
 
+def _image_quality(group) -> str:
+    """ImageQuality metadata: our generator writes it as a view attr; files
+    built by the reference store it as a dataset inside the view group
+    (contour_uncertainty/data/camus/dataset.py:93-94) — accept both."""
+    if "ImageQuality" in group.attrs:
+        v = group.attrs["ImageQuality"]
+    elif "ImageQuality" in group:
+        v = group["ImageQuality"][()]
+    else:
+        return "Unknown"
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
 class CamusContourData:
     """Loads a CAMUS-layout HDF5 into memory with cached landmark contours."""
 
@@ -95,6 +108,10 @@ class CamusContourData:
                 for view in f[pid].keys():
                     g = f[f"{pid}/{view}"]
                     img = np.asarray(g["img_proc"], np.float32)
+                    if img.ndim == 4 and img.shape[-1] == 1:
+                        # the reference generator stores a trailing channel
+                        # axis (dataset_generator.py:170); ours is squeezed
+                        img = img[..., 0]
                     if img.max() > 1.5:  # raw grayscale datasets store 0..255
                         img = img / 255.0
                     gt = np.asarray(g["gt_proc"], np.uint8)
@@ -120,7 +137,7 @@ class CamusContourData:
                         contour=contour,
                         voxelspacing=np.asarray(g.attrs.get("voxelspacing", [1.0, 1.0, 1.0])),
                         instants=instants or {"ED": 0, "ES": min(1, len(gt) - 1)},
-                        image_quality=str(g.attrs.get("ImageQuality", "Unknown")),
+                        image_quality=_image_quality(g),
                     )
         if new_cache.keys() - cached.keys():
             np.savez_compressed(cache_file, **{**cached, **new_cache})
@@ -180,8 +197,9 @@ class CamusContourData:
     def data_params(self) -> DataParams:
         views = self.load_split("train")
         h, w = views[0].img.shape[-2:]
-        # K comes from the actually-extracted contours (LV endo only for now;
-        # the reference's multi-structure LV+MYO extraction is future work).
+        # K comes from the actually-extracted contours: nb_points landmarks
+        # for LV-endo, 2*nb_points when MYO/epi extraction is enabled (see
+        # data/contour_extraction.py and tests/test_end_to_end.py).
         nb_points = views[0].contour.shape[1]
         return DataParams(in_shape=(1, h, w), out_shape=(nb_points, 2), labels=self.labels)
 
