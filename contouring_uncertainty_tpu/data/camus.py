@@ -179,6 +179,7 @@ class CamusContourData:
                 Tags.contour: v.contour,
                 Tags.voxelspacing: v.voxelspacing,
                 Tags.instants: v.instants,
+                Tags.image_quality: v.image_quality,
             }
 
     @property

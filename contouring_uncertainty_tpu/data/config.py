@@ -36,6 +36,7 @@ class Tags:
     metadata = "metadata"
     voxelspacing = "voxelspacing"
     instants = "instants"
+    image_quality = "image_quality"
 
 
 @dataclass
@@ -64,6 +65,10 @@ class BatchResult:
 
     instants: Optional[Dict[str, int]] = None
     voxelspacing: Optional[Tuple] = None
+    # View acquisition quality attr (Good/Medium/Poor), carried from the
+    # CAMUS metadata for quality-vs-uncertainty correlation analyses
+    # (reference data/camus/dataset.py:81-98).
+    image_quality: Optional[str] = None
 
     contour: Optional[np.ndarray] = None  # GT contour [N, K, 2]
     mu: Optional[np.ndarray] = None  # [N, K, 2]

@@ -96,6 +96,7 @@ def build_task(cfg: Dict, data_params):
             skew_indices=tuple(raw_idx) if raw_idx else None,
             mse_weight=task_cfg.get("mse_weight", 1.0),
             log_penalty_weight=task_cfg.get("log_penalty_weight", 1.0),
+            freeze_seg=task_cfg.get("freeze_seg", False),
             **common,
         )
     if name == "epistemic":

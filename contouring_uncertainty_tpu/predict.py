@@ -367,6 +367,7 @@ def run_predict_segmentation(task, variables, data, cfg, split: str = "test") ->
             instant_uncertainty=out["instant_uncertainty"],
             voxelspacing=view.get(Tags.voxelspacing),
             instants=view.get(Tags.instants),
+            image_quality=view.get(Tags.image_quality),
         ))
     return results
 
@@ -378,7 +379,7 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
 
     if isinstance(task, SegmentationUncertaintyTask):
         results = run_predict_segmentation(task, variables, data, cfg, split)
-        _maybe_run_processors(results, cfg)
+        _record_processor_metrics(_maybe_run_processors(results, cfg))
         return results
     model = task.build_model()
     task_cfg = cfg.get("task", {})
@@ -447,11 +448,22 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
             instant_uncertainty=out["instant_uncertainty"],
             voxelspacing=view.get(Tags.voxelspacing),
             instants=view.get(Tags.instants),
+            image_quality=view.get(Tags.image_quality),
         )
         results.append(res)
 
-    _maybe_run_processors(results, cfg)
+    _record_processor_metrics(_maybe_run_processors(results, cfg))
     return results
+
+
+#: metrics dict (incl. 'processor_errors') from the most recent run_predict;
+#: the runner uses it to propagate processor failures into its exit status.
+LAST_PROCESSOR_METRICS: dict = {}
+
+
+def _record_processor_metrics(metrics):
+    LAST_PROCESSOR_METRICS.clear()
+    LAST_PROCESSOR_METRICS.update(metrics or {})
 
 
 def _maybe_run_processors(results, cfg):
@@ -459,4 +471,5 @@ def _maybe_run_processors(results, cfg):
         out_dir = Path(cfg.get("results_dir") or Path(cfg["save_path"]) / "results")
         from contouring_uncertainty_tpu.results import run_processors
 
-        run_processors(results, out_dir, cfg)
+        return run_processors(results, out_dir, cfg)
+    return {}

@@ -37,16 +37,26 @@ def run_processors(results, out_dir: Path, cfg: Dict) -> Dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     names = cfg.get("data", {}).get("results_processors", list(PROCESSORS))
     all_metrics: Dict = {}
+    failures: Dict[str, str] = {}
     for name in names:
         fn = PROCESSORS.get(name)
         if fn is None:
+            failures[name] = "unknown processor (not registered)"
+            print(f"[results] processor {name} is not registered")
             continue
         try:
             metrics = fn(results, out_dir)
-        except Exception as exc:  # processors must not kill the run (ref: broad try/excepts)
-            print(f"[results] processor {name} failed: {type(exc).__name__}: {exc}")
+        except Exception as exc:
+            # A failing processor must not kill the others, but the failure
+            # is RECORDED (metrics.json + return value) instead of reduced
+            # to a print — a typo'd processor otherwise silently produces no
+            # artifacts (round-1 verdict, weak #6).
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            print(f"[results] processor {name} failed: {failures[name]}")
             continue
         all_metrics.update({f"{name}/{k}": v for k, v in (metrics or {}).items()})
+    if failures:
+        all_metrics["processor_errors"] = failures
     if all_metrics:
         import json
 

@@ -18,14 +18,20 @@ from contouring_uncertainty_tpu.results.utils import (
 )
 
 
+# ImageQuality ordinal encoding for correlation analyses (CAMUS attrs).
+_QUALITY_SCORE = {"Good": 2.0, "Medium": 1.0, "Poor": 0.0}
+
+
 @register("instant_metrics")
 def instant_metrics(results: List, out_dir: Path) -> dict:
     metrics = defaultdict(list)
     uncertainties = defaultdict(list)
     ids = []
+    qualities = []
     for res in results:
         for i in range(res.img.shape[0]):
             ids.append(f"{res.id}-{i}")
+            qualities.append(getattr(res, "image_quality", None) or "Unknown")
             if res.gt is not None:
                 for k, v in dice(res.pred[i], res.gt[i], res.labels, all_classes=True).items():
                     metrics[k].append(v)
@@ -38,6 +44,12 @@ def instant_metrics(results: List, out_dir: Path) -> dict:
                     uncertainties[key].append(float(unc[i]))
 
     table = {"id": ids}
+    if any(q != "Unknown" for q in qualities):
+        table["image_quality"] = qualities
+        # ordinal score column so quality joins the correlation grid
+        scores = [_QUALITY_SCORE.get(q, np.nan) for q in qualities]
+        if np.isfinite(np.asarray(scores)).any():
+            metrics["image_quality_score"] = scores
     table.update({k: v for k, v in metrics.items() if len(v) == len(ids)})
     table.update({k: v for k, v in uncertainties.items() if len(v) == len(ids)})
     pd.DataFrame(table).to_csv(out_dir / "instant_metrics.csv")

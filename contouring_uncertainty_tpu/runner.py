@@ -123,13 +123,18 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
                 result["test_metrics"] = test_metrics
                 print({k: round(v, 4) for k, v in test_metrics.items()})
         except Exception as exc:
-            print(f"[runner] test pass failed: {type(exc).__name__}: {exc}")
+            # Recorded (not just printed) so eval-only runs exit nonzero.
+            result["test_error"] = f"{type(exc).__name__}: {exc}"
+            print(f"[runner] test pass failed: {result['test_error']}")
 
     if cfg.get("predict", True) and variables is not None:
-        from contouring_uncertainty_tpu.predict import run_predict
+        from contouring_uncertainty_tpu import predict as predict_mod
 
-        results = run_predict(task, variables, data, cfg)
+        results = predict_mod.run_predict(task, variables, data, cfg)
         result["predict"] = results
+        errors = predict_mod.LAST_PROCESSOR_METRICS.get("processor_errors")
+        if errors:
+            result["processor_errors"] = errors
     return result
 
 
@@ -140,6 +145,17 @@ def main():
         print({k: round(v, 4) for k, v in last.items() if isinstance(v, float)})
     if "ckpt_path" in result:
         print(f"checkpoint: {result['ckpt_path']}")
+    # Eval-only runs exist to produce artifacts; a failed processor or test
+    # pass means the run did NOT deliver them -> nonzero exit status.
+    eval_only = not result.get("cfg", {}).get("train", True)
+    failures = {}
+    if result.get("processor_errors"):
+        failures["processors"] = result["processor_errors"]
+    if result.get("test_error"):
+        failures["test"] = result["test_error"]
+    if eval_only and failures:
+        print(f"[runner] evaluation produced errors: {failures}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

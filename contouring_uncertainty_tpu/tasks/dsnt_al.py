@@ -15,6 +15,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
 from contouring_uncertainty_tpu.models.unet import UNet
@@ -104,6 +105,40 @@ class DSNTAleatoric:
             mus.append(mu)
             covs.append(sigma)
         return jnp.stack(mus, axis=1), jnp.stack(covs, axis=1)
+
+    def val_figure(self, model, variables, batch, max_items: int = 4):
+        """Contour-overlay panel logged each validation epoch (reference
+        task/uncertainty.py:100-104 uploads figures per val epoch).
+
+        Returns a matplotlib figure: image, GT landmarks, predicted means
+        with 2-sigma confidence ellipses.
+        """
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        from contouring_uncertainty_tpu.utils.plotting import confidence_ellipse
+
+        img = batch[Tags.img][:max_items]
+        mu, sigma = self.forward_gaussians(model, variables, img)
+        mu = np.asarray(mu)
+        sigma = np.asarray(sigma)
+        n = img.shape[0]
+        fig, axes = plt.subplots(1, n, figsize=(3 * n, 3), squeeze=False)
+        gt = batch.get(Tags.contour)
+        for i, ax in enumerate(axes[0]):
+            ax.imshow(np.asarray(img[i, 0]), cmap="gray")
+            if gt is not None:
+                g = np.asarray(gt[i])
+                ax.scatter(g[:, 0], g[:, 1], s=6, c="lime", label="gt")
+            ax.scatter(mu[i, :, 0], mu[i, :, 1], s=6, c="red", label="pred")
+            for k in range(mu.shape[1]):
+                confidence_ellipse(mu[i, k, 0], mu[i, k, 1], sigma[i, k], ax,
+                                   n_std=2.0, edgecolor="orange", alpha=0.6)
+            ax.set_axis_off()
+        axes[0, 0].legend(loc="lower right", fontsize=6)
+        fig.tight_layout()
+        return fig
 
     def val_metrics(self, model, variables, batch) -> Dict[str, jnp.ndarray]:
         """Val loss + Dice from linear contour reconstruction (on device);

@@ -50,6 +50,21 @@ class DSNTSkew(DSNTAleatoric):
 
     skew_indices: Optional[Tuple[int, ...]] = None
     task_name: str = "dsnt-skew"
+    # Two-stage fine-tune mode (reference dsnt_skew.py:39-44): freeze the
+    # segmentation backbone and train only the ConfidenceNet skew head.
+    # Config-reachable as task.freeze_seg=true; typically combined with
+    # loading a pretrained dsnt-al checkpoint.
+    freeze_seg: bool = False
+
+    def optimizer_labels(self, params) -> Optional[Dict]:
+        """Optax multi_transform labels: 'freeze' for the backbone subtree,
+        'train' for everything else. None when freeze_seg is off."""
+        if not self.freeze_seg:
+            return None
+        return {
+            k: jax.tree_util.tree_map(lambda _: "freeze" if k == "unet" else "train", v)
+            for k, v in params.items()
+        }
 
     def _indices(self):
         k = self.data_params.out_shape[0]

@@ -51,6 +51,9 @@ class TrainerConfig:
     use_comet: bool = False
     use_tensorboard: bool = False
     save_every: int = 25  # periodic full-state (resumable) checkpoint cadence
+    # Per-val-epoch contour-overlay figures (reference uncertainty.py:100-104);
+    # written under {run_dir}/figures/ and attached to Comet/TB when active.
+    log_figures: bool = True
 
 
 class Trainer:
@@ -69,6 +72,14 @@ class Trainer:
         dummy = jnp.zeros((2, c, h, w), jnp.float32)
         variables = jax.jit(self.model.init)(rng, dummy)
         tx = optax.adamw(self.config.lr, weight_decay=self.config.weight_decay)
+        # Fine-tune modes (e.g. dsnt-skew freeze_seg): the task may label
+        # parameter subtrees; frozen ones get set_to_zero updates.
+        labels_fn = getattr(self.task, "optimizer_labels", None)
+        labels = labels_fn(variables["params"]) if labels_fn else None
+        if labels is not None:
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels
+            )
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=tx
         )
@@ -99,6 +110,10 @@ class Trainer:
         optimizer state + epoch) written by the periodic saver — the
         counterpart of Lightning's resume_from_checkpoint
         (vital/vital/runner.py:91-92)."""
+        from contouring_uncertainty_tpu.parallel import distributed_initialize
+
+        # Multi-host DCN init (no-op single host; parallel/distributed.py).
+        distributed_initialize()
         cfg = self.config
         rng = jax.random.key(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
@@ -204,6 +219,22 @@ class Trainer:
             self.history.append(row)
             self._log_row(row)
             exp_logger.log_metrics(row, step=epoch)
+
+            if cfg.log_figures and hasattr(self.task, "val_figure"):
+                try:
+                    fig_batch = {
+                        k: v[: min(4, len(v))] for k, v in val_arrays.items()
+                    }
+                    fig = self.task.val_figure(
+                        self.model, {"params": state.params}, fig_batch
+                    )
+                    if fig is not None:
+                        exp_logger.log_figure("val_contours", fig, step=epoch)
+                        import matplotlib.pyplot as plt
+
+                        plt.close(fig)
+                except Exception as exc:  # figures must never kill a fit
+                    print(f"[trainer] val figure failed: {exc}")
 
             val_loss = row["val/loss"]
             if np.isfinite(val_loss) and val_loss < best_val:

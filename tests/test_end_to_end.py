@@ -5,6 +5,8 @@ This is the jitted-TPU equivalent of the reference's `fast_dev_run: 10`
 manual integration test (config/default.yaml:40) — but automated and asserted.
 """
 
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -74,6 +76,11 @@ def test_train_loss_decreases_on_mesh(camus_h5):
     assert np.mean(dists[-3:]) < np.mean(dists[:3]), f"no learning: {dists}"
     dice = trainer.history[-1]["val/dice"]
     assert 0.0 <= dice <= 1.0
+
+    # Per-val-epoch contour-overlay figures (reference uncertainty.py:100-104).
+    figures = list((Path("/tmp/cutpu_test_runs") / "1" / "figures").glob(
+        "val_contours_*.png"))
+    assert figures, "no val figures logged during fit"
 
     # Checkpoint round-trip.
     restored = restore_checkpoint(ckpt_path, {"params": variables["params"]})

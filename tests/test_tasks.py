@@ -123,3 +123,41 @@ def test_seg_predictor_end_to_end():
     # Border-zeroed entropy.
     assert float(out["entropy_map"][:, :10].max()) == 0.0
     assert np.isfinite(np.asarray(out["instant_uncertainty"]["entropy_mean"])).all()
+
+
+def test_dsnt_skew_freeze_seg_trains_only_confidence_net():
+    """freeze_seg fine-tune mode (reference dsnt_skew.py:39-44): a Trainer
+    train step must leave the UNet backbone untouched and update only the
+    ConfidenceNet head."""
+    from contouring_uncertainty_tpu.train.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(1)
+    task = DSNTSkew(data_params=DP_CONTOUR, model_kwargs=SMALL_MODEL,
+                    freeze_seg=True)
+    trainer = Trainer(task, TrainerConfig(batch_size=4, lr=1e-2))
+    trainer._build_steps()
+    state = trainer.init_state(jax.random.key(0))
+    batch = _batch(rng)
+    before = jax.tree.map(np.asarray, state.params)
+    state, logs = trainer._train_step(state, batch, jax.random.key(1))
+    after = jax.tree.map(np.asarray, state.params)
+
+    unet_deltas = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), before["unet"], after["unet"]))
+    head_deltas = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()),
+        before["confidence_net"], after["confidence_net"]))
+    assert max(unet_deltas) == 0.0
+    assert max(head_deltas) > 0.0
+
+    # default mode sanity: without freeze_seg the backbone does move
+    task2 = DSNTSkew(data_params=DP_CONTOUR, model_kwargs=SMALL_MODEL)
+    trainer2 = Trainer(task2, TrainerConfig(batch_size=4, lr=1e-2))
+    trainer2._build_steps()
+    state2 = trainer2.init_state(jax.random.key(0))
+    before2 = jax.tree.map(np.asarray, state2.params)
+    state2, _ = trainer2._train_step(state2, batch, jax.random.key(1))
+    after2 = jax.tree.map(np.asarray, state2.params)
+    deltas2 = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), before2["unet"], after2["unet"]))
+    assert max(deltas2) > 0.0
