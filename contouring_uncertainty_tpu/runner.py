@@ -22,7 +22,10 @@ from contouring_uncertainty_tpu.factory import (
     build_trainer,
     experiment_name,
 )
-from contouring_uncertainty_tpu.train.checkpoint import restore_checkpoint
+from contouring_uncertainty_tpu.train.checkpoint import (
+    resolve_checkpoint,
+    restore_checkpoint,
+)
 
 
 def run(overrides: Optional[List[str]] = None) -> Dict:
@@ -85,7 +88,9 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
 
         c, h, w = task.data_params.in_shape
         init = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
-        ckpt = Path(ckpt)
+        # Local path OR 'workspace/registry[/version]' Comet model-registry
+        # query with local caching (checkpoint.resolve_checkpoint).
+        ckpt = resolve_checkpoint(ckpt)
         # A directory of .ckpt checkpoints is loaded as a deep ensemble
         # (reference uncertainty.py:54-70: list of ckpts -> nn.ModuleList).
         members = sorted(ckpt.glob("*.ckpt")) if ckpt.is_dir() and not (ckpt / "state").exists() else []

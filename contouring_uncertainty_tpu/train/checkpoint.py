@@ -43,3 +43,82 @@ def restore_checkpoint(path: str | Path, target: Any = None) -> Any:
 def load_meta(path: str | Path) -> Dict:
     meta_file = Path(path) / "meta.json"
     return json.loads(meta_file.read_text()) if meta_file.exists() else {}
+
+
+def cache_home() -> Path:
+    """Local cache root for downloaded registry checkpoints (the reference's
+    get_vital_home analogue)."""
+    import os
+
+    return Path(os.environ.get("CUTPU_HOME", Path.home() / ".cache" / "cutpu"))
+
+
+def resolve_checkpoint(checkpoint: str | Path) -> Path:
+    """Resolve a local checkpoint directory OR a Comet model-registry query
+    to a local path (reference vital/vital/utils/saving.py:19-96).
+
+    Query forms (only reachable when comet_ml is installed and an API key is
+    configured):
+        'workspace/registry_name'            -> latest version
+        'workspace/registry_name/1.2.0'      -> specific version
+        'workspace/registry_name/prod'       -> stage tag (cache always
+                                                refreshed: stages move)
+
+    Local checkpoints are anything that exists on disk (our orbax checkpoint
+    directories, identified by their meta.json/state layout).
+    """
+    path = Path(checkpoint)
+    if path.exists():
+        return path
+
+    parts = path.parts
+    # Suffixed paths (.ckpt etc.) are always local (reference saving.py:37);
+    # only unsuffixed 2/3-part identifiers are registry queries.
+    if path.suffix or not (2 <= len(parts) <= 3):
+        raise FileNotFoundError(
+            f"checkpoint '{checkpoint}' does not exist locally and is not a "
+            "'workspace/registry[/version-or-stage]' registry query"
+        )
+    try:
+        import comet_ml
+    except ImportError as exc:
+        raise RuntimeError(
+            f"checkpoint '{checkpoint}' looks like a Comet model-registry "
+            "query but comet_ml is not installed in this environment"
+        ) from exc
+
+    comet_api = comet_ml.api.API()
+    workspace, registry_name = parts[0], parts[1]
+    version_or_stage = parts[2] if len(parts) == 3 else None
+    version = stage = None
+    if version_or_stage:
+        # versions look like numbers-with-dots; anything else is a stage tag
+        if version_or_stage.replace(".", "").isdigit():
+            version = version_or_stage
+        else:
+            stage = version_or_stage
+    else:
+        version = version_or_stage = comet_api.get_registry_model_versions(
+            workspace, registry_name
+        )[-1]
+
+    cached = cache_home() / workspace / registry_name / version_or_stage
+    if stage:
+        import shutil
+
+        shutil.rmtree(cached, ignore_errors=True)  # stage tags move
+    if not cached.exists():
+        comet_api.download_registry_model(
+            workspace, registry_name, version=version, stage=stage,
+            output_path=str(cached),
+        )
+    candidates = [p for p in cached.iterdir() if (p / "state").exists()] \
+        if cached.exists() else []
+    if len(candidates) == 1:
+        return candidates[0]
+    if cached.exists() and (cached / "state").exists():
+        return cached
+    raise RuntimeError(
+        f"registry model at {cached} does not contain exactly one orbax "
+        f"checkpoint directory (found {len(candidates)})"
+    )

@@ -155,3 +155,30 @@ def test_generate_psm_cli(tmp_path):
     assert prior.dim == 42  # 21 points x 2
     seq = load_prior(tmp_path / "sp.npz")
     assert seq.dim == 84  # ED+ES stacked
+
+
+def test_resolve_checkpoint_local_and_registry_forms(tmp_path):
+    """Checkpoint resolver (reference vital/utils/saving.py:19-96): local
+    paths pass through; registry-shaped queries need comet; suffixed or
+    malformed paths fail as missing local files."""
+    import pytest
+
+    from contouring_uncertainty_tpu.train.checkpoint import resolve_checkpoint
+
+    local = tmp_path / "model.ckpt"
+    local.mkdir()
+    assert resolve_checkpoint(local) == local
+
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(tmp_path / "missing" / "model.ckpt")
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint("a/b/c/d")  # too many parts for a registry query
+
+    try:
+        import comet_ml  # noqa: F401
+        has_comet = True
+    except ImportError:
+        has_comet = False
+    if not has_comet:
+        with pytest.raises(RuntimeError, match="comet_ml"):
+            resolve_checkpoint("my_workspace/my_model")
