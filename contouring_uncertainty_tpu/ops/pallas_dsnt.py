@@ -27,11 +27,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from contouring_uncertainty_tpu.ops.coords import normalized_to_pixel
 
 _N_MOM = 8  # [1, x, y, x^2, y^2, xy, x^3, y^3]
 _ROWS = 256  # heatmap rows (B*K) per grid step
@@ -155,8 +153,18 @@ def _raw_moments_xla(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.n
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def dsnt_raw_moments(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Differentiable fused raw moments. flat_logits (Rows, H*W) -> (Rows, 8)."""
-    if jax.default_backend() != "cpu" and flat_logits.shape[1] % 128 == 0:
+    """Differentiable fused raw moments. flat_logits (Rows, H*W) -> (Rows, 8).
+
+    The kernel engages only for bf16 inputs on TPU: its moment terms are
+    bf16 on the MXU, which matches bf16 logits exactly, while f32 callers
+    keep the Precision.HIGHEST XLA path (same policy as
+    ops/dsnt.logits_to_pixel_gaussians — the f32 DMA erases the kernel's
+    bandwidth gain anyway)."""
+    if (
+        jax.default_backend() != "cpu"
+        and flat_logits.dtype == jnp.bfloat16
+        and flat_logits.shape[1] % 128 == 0
+    ):
         return _raw_moments_pallas(flat_logits, height, width)
     return _raw_moments_xla(flat_logits, height, width)
 
@@ -181,19 +189,9 @@ dsnt_raw_moments.defvjp(_fwd, _bwd)
 def heatmaps_to_pixel_gaussians_fused(logits: jnp.ndarray, use_covar: bool = True):
     """Drop-in fused variant of ops.dsnt.logits_to_pixel_gaussians that never
     materializes the softmax to HBM. Returns (mu, sigma) only."""
+    from contouring_uncertainty_tpu.ops.dsnt import raw6_to_pixel_gaussians
+
     *lead, height, width = logits.shape
     flat = logits.reshape(-1, height * width)
     raw = dsnt_raw_moments(flat, height, width).reshape(*lead, _N_MOM)
-    ex, ey = raw[..., 1], raw[..., 2]
-    var = jnp.stack([raw[..., 3] - ex * ex, raw[..., 4] - ey * ey], axis=-1)
-    cov = raw[..., 5] - ex * ey
-
-    mu = normalized_to_pixel(jnp.stack([ex, ey], axis=-1), (height, width))
-    scale = (width / 2.0) ** 2
-    pixel_var = jnp.maximum(var * scale, 1e-2)
-    pixel_cov = jnp.where(use_covar, cov * scale, jnp.zeros_like(cov))
-    max_cov = 0.999 * jnp.sqrt(pixel_var[..., 0] * pixel_var[..., 1])
-    pixel_cov = jnp.clip(pixel_cov, -max_cov, max_cov)
-    row0 = jnp.stack([pixel_var[..., 0], pixel_cov], axis=-1)
-    row1 = jnp.stack([pixel_cov, pixel_var[..., 1]], axis=-1)
-    return mu, jnp.stack([row0, row1], axis=-2)
+    return raw6_to_pixel_gaussians(raw[..., :6], height, width, use_covar)

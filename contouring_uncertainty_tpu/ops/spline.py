@@ -85,15 +85,19 @@ def spline_eval(u_knots, points, m, t, derivative: int = 0):
     sel = (
         (t_cl[:, None] >= u_knots[None, :-1]) & (t_cl[:, None] < u_knots[None, 1:])
     ).astype(u_knots.dtype)  # (S, K-1) one-hot over segments
-    u0 = sel @ u_knots[:-1]
-    u1 = sel @ u_knots[1:]
+    # HIGHEST precision: these are exact selections of pixel-space values —
+    # the TPU's default bf16 matmul passes would round control points by up
+    # to ~0.5 px (CLAUDE.md: tiny linalg never at default precision).
+    hp = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    u0 = hp(sel, u_knots[:-1])
+    u1 = hp(sel, u_knots[1:])
     h = u1 - u0
     a = (u1 - t) / h
     b = (t - u0) / h
-    y0 = sel @ points[:-1]  # (S, 2)
-    y1 = sel @ points[1:]
-    m0 = sel @ m[:-1]
-    m1 = sel @ m[1:]
+    y0 = hp(sel, points[:-1])  # (S, 2)
+    y1 = hp(sel, points[1:])
+    m0 = hp(sel, m[:-1])
+    m1 = hp(sel, m[1:])
     h_ = h[:, None]
     a_ = a[:, None]
     b_ = b[:, None]

@@ -47,10 +47,10 @@ def initialize(
 
     if coordinator_address is None:
         coordinator_address = os.environ.get("CUTPU_COORDINATOR")
-        if num_processes is None and os.environ.get("CUTPU_NUM_PROCESSES"):
-            num_processes = int(os.environ["CUTPU_NUM_PROCESSES"])
-        if process_id is None and os.environ.get("CUTPU_PROCESS_ID"):
-            process_id = int(os.environ["CUTPU_PROCESS_ID"])
+    if num_processes is None and os.environ.get("CUTPU_NUM_PROCESSES"):
+        num_processes = int(os.environ["CUTPU_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("CUTPU_PROCESS_ID"):
+        process_id = int(os.environ["CUTPU_PROCESS_ID"])
 
     auto_multihost = (
         os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")

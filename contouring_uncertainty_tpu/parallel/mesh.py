@@ -31,6 +31,12 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     Raises if fewer than ``n_devices`` devices exist — a silently truncated
     mesh would let an "8-chip" validation pass vacuously on a 1-chip host.
     """
+    # Multi-host runtimes must initialize jax.distributed BEFORE the backend
+    # is touched; make_mesh is the universal entry to device topology, so the
+    # (single-host no-op) init lives here rather than relying on callers.
+    from contouring_uncertainty_tpu.parallel.distributed import initialize
+
+    initialize()
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:

@@ -347,7 +347,8 @@ class SegPredictor:
         return self._jitted[n](variables, img, key)
 
 
-def run_predict_segmentation(task, variables, data, cfg, split: str = "test") -> List[BatchResult]:
+def run_predict_segmentation(task, variables, data, cfg,
+                             split: str = "test") -> List[BatchResult]:
     model = task.build_model()
     predictor = SegPredictor(task, model)
     key = jax.random.key(cfg.get("seed", 10))
@@ -372,14 +373,15 @@ def run_predict_segmentation(task, variables, data, cfg, split: str = "test") ->
     return results
 
 
-def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchResult]:
+def run_predict(task, variables, data, cfg, split: str = "test",
+                metrics_out: Optional[Dict] = None) -> List[BatchResult]:
     """Predict every view of the split and assemble BatchResults
     (then results processors — results/__init__.py — consume them)."""
     from contouring_uncertainty_tpu.tasks.segmentation import SegmentationUncertaintyTask
 
     if isinstance(task, SegmentationUncertaintyTask):
         results = run_predict_segmentation(task, variables, data, cfg, split)
-        _record_processor_metrics(_maybe_run_processors(results, cfg))
+        _maybe_run_processors(results, cfg, metrics_out)
         return results
     model = task.build_model()
     task_cfg = cfg.get("task", {})
@@ -452,24 +454,15 @@ def run_predict(task, variables, data, cfg, split: str = "test") -> List[BatchRe
         )
         results.append(res)
 
-    _record_processor_metrics(_maybe_run_processors(results, cfg))
+    _maybe_run_processors(results, cfg, metrics_out)
     return results
 
 
-#: metrics dict (incl. 'processor_errors') from the most recent run_predict;
-#: the runner uses it to propagate processor failures into its exit status.
-LAST_PROCESSOR_METRICS: dict = {}
-
-
-def _record_processor_metrics(metrics):
-    LAST_PROCESSOR_METRICS.clear()
-    LAST_PROCESSOR_METRICS.update(metrics or {})
-
-
-def _maybe_run_processors(results, cfg):
+def _maybe_run_processors(results, cfg, metrics_out=None):
     if cfg.get("results_dir") or cfg.get("save_path"):
         out_dir = Path(cfg.get("results_dir") or Path(cfg["save_path"]) / "results")
         from contouring_uncertainty_tpu.results import run_processors
 
-        return run_processors(results, out_dir, cfg)
-    return {}
+        metrics = run_processors(results, out_dir, cfg)
+        if metrics_out is not None:
+            metrics_out.update(metrics)

@@ -133,13 +133,13 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
             print(f"[runner] test pass failed: {result['test_error']}")
 
     if cfg.get("predict", True) and variables is not None:
-        from contouring_uncertainty_tpu import predict as predict_mod
+        from contouring_uncertainty_tpu.predict import run_predict
 
-        results = predict_mod.run_predict(task, variables, data, cfg)
+        proc_metrics: Dict = {}
+        results = run_predict(task, variables, data, cfg, metrics_out=proc_metrics)
         result["predict"] = results
-        errors = predict_mod.LAST_PROCESSOR_METRICS.get("processor_errors")
-        if errors:
-            result["processor_errors"] = errors
+        if proc_metrics.get("processor_errors"):
+            result["processor_errors"] = proc_metrics["processor_errors"]
     return result
 
 

@@ -72,9 +72,9 @@ def resolve_checkpoint(checkpoint: str | Path) -> Path:
         return path
 
     parts = path.parts
-    # Suffixed paths (.ckpt etc.) are always local (reference saving.py:37);
-    # only unsuffixed 2/3-part identifiers are registry queries.
-    if path.suffix or not (2 <= len(parts) <= 3):
+    # Suffixed or absolute paths are always local (reference saving.py:37);
+    # only unsuffixed RELATIVE 2/3-part identifiers are registry queries.
+    if path.suffix or path.is_absolute() or not (2 <= len(parts) <= 3):
         raise FileNotFoundError(
             f"checkpoint '{checkpoint}' does not exist locally and is not a "
             "'workspace/registry[/version-or-stage]' registry query"
@@ -98,9 +98,14 @@ def resolve_checkpoint(checkpoint: str | Path) -> Path:
         else:
             stage = version_or_stage
     else:
-        version = version_or_stage = comet_api.get_registry_model_versions(
-            workspace, registry_name
-        )[-1]
+        # Latest by PARSED version, not list position — the API's ordering is
+        # not guaranteed semver-sorted ('1.10.0' must beat '1.9.0').
+        versions = comet_api.get_registry_model_versions(workspace, registry_name)
+
+        def _vkey(v):
+            return tuple(int(x) if x.isdigit() else 0 for x in str(v).split("."))
+
+        version = version_or_stage = max(versions, key=_vkey)
 
     cached = cache_home() / workspace / registry_name / version_or_stage
     if stage:

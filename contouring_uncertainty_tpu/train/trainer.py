@@ -110,10 +110,8 @@ class Trainer:
         optimizer state + epoch) written by the periodic saver — the
         counterpart of Lightning's resume_from_checkpoint
         (vital/vital/runner.py:91-92)."""
-        from contouring_uncertainty_tpu.parallel import distributed_initialize
-
-        # Multi-host DCN init (no-op single host; parallel/distributed.py).
-        distributed_initialize()
+        # Multi-host DCN init happens inside make_mesh() (Trainer.__init__),
+        # i.e. before the backend is first touched.
         cfg = self.config
         rng = jax.random.key(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)

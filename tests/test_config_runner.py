@@ -173,6 +173,8 @@ def test_resolve_checkpoint_local_and_registry_forms(tmp_path):
         resolve_checkpoint(tmp_path / "missing" / "model.ckpt")
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint("a/b/c/d")  # too many parts for a registry query
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(tmp_path / "nope")  # absolute => always local
 
     try:
         import comet_ml  # noqa: F401

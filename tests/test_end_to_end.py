@@ -66,6 +66,10 @@ def test_train_loss_decreases_on_mesh(camus_h5):
         batch_size=8, max_epochs=40, patience=100, lr=1e-3, seed=1,
         save_path="/tmp/cutpu_test_runs", name="e2e", augment=False,
     )
+    # stale figures from a previous run would make the assertion vacuous
+    import shutil
+
+    shutil.rmtree("/tmp/cutpu_test_runs/1/figures", ignore_errors=True)
     trainer = Trainer(task, cfg, mesh=make_mesh())
     train = data.train_arrays("train")
     val = data.train_arrays("val")
