@@ -38,9 +38,14 @@ class DropoutBottleneck(nn.Module):
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         out = _norm()(out)
         out = nn.relu(out)
+        # torch-style symmetric padding: dilated 3x3 pads by dilation
+        # (torchvision Bottleneck conv2: padding=dilation); XLA SAME pads
+        # (0, d+...) asymmetrically for stride 2.
+        pad = self.dilation
         out = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
                       kernel_dilation=(self.dilation, self.dilation),
-                      padding="SAME", use_bias=False, dtype=self.dtype)(out)
+                      padding=((pad, pad), (pad, pad)),
+                      use_bias=False, dtype=self.dtype)(out)
         out = _norm()(out)
         out = nn.relu(out)
         out = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(out)
@@ -66,11 +71,11 @@ class ResNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        out = nn.Conv(self.base, (7, 7), strides=(2, 2), padding="SAME",
+        out = nn.Conv(self.base, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                       use_bias=False, dtype=self.dtype)(x)
         out = _norm()(out)
         out = nn.relu(out)
-        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding="SAME")
+        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         stage_cfg = [
             (self.base, 1, 1),

@@ -45,8 +45,10 @@ class InitialBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch pads stride-2 3x3 convs symmetrically (1, 1); XLA SAME
+        # would pad (0, 1) and shift the downsample by a pixel.
         main = nn.Conv(self.out_channels - x.shape[-1], (3, 3), strides=(2, 2),
-                       padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                       padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype)(x)
         ext = nn.max_pool(x, (2, 2), strides=(2, 2))
         out = jnp.concatenate([main, ext], axis=-1)
         out = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, dtype=jnp.float32)(out)

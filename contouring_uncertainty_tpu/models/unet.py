@@ -59,6 +59,17 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def torch_padding(kernel_size) -> tuple:
+    """Symmetric torch-style padding ((k//2, k//2), ...).
+
+    NOT XLA's "SAME": for stride-2 convs on even inputs SAME pads (0, 1)
+    while torch pads (k//2, k//2) on both sides, shifting every downsample
+    by one pixel — caught by tests/test_reference_model_parity.py, which
+    runs the reference's own torch UNet with ported weights.
+    """
+    return tuple((k // 2, k // 2) for k in kernel_size)
+
+
 class ConvLayer(nn.Module):
     """conv -> [drop] -> instance norm -> leaky relu."""
 
@@ -76,7 +87,7 @@ class ConvLayer(nn.Module):
             self.features,
             tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=torch_padding(self.kernel_size),
             kernel_init=_KAIMING,
             dtype=self.dtype,
         )(x)
@@ -130,7 +141,8 @@ class ResidBlock(nn.Module):
             self.negative_slope, self.drop_block, dtype=self.dtype,
         )(x, deterministic=deterministic)
         out = nn.Conv(
-            self.features, tuple(self.kernel_size), padding="SAME",
+            self.features, tuple(self.kernel_size),
+            padding=torch_padding(self.kernel_size),
             kernel_init=_KAIMING, dtype=self.dtype,
         )(out)
         if self.drop_block:
@@ -140,7 +152,8 @@ class ResidBlock(nn.Module):
         if needs_proj:
             residual = nn.Conv(
                 self.features, tuple(self.kernel_size), strides=tuple(self.strides),
-                padding="SAME", kernel_init=_KAIMING, dtype=self.dtype,
+                padding=torch_padding(self.kernel_size),
+                kernel_init=_KAIMING, dtype=self.dtype,
             )(residual)
             if self.drop_block:
                 residual = nn.Dropout(0.5, broadcast_dims=(1, 2))(
@@ -159,7 +172,8 @@ class AttentionGate(nn.Module):
     @nn.compact
     def __call__(self, gate, skip):
         def att_layer(h, f):
-            h = nn.Conv(f, (3, 3), padding="SAME", kernel_init=_KAIMING, dtype=self.dtype)(h)
+            h = nn.Conv(f, (3, 3), padding=torch_padding((3, 3)),
+                        kernel_init=_KAIMING, dtype=self.dtype)(h)
             return InstanceNorm(dtype=self.dtype)(h)
 
         half = self.features // 2
@@ -226,7 +240,8 @@ class ConfidenceNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         for _ in range(3):
-            x = nn.Conv(128, (3, 3), padding="SAME", kernel_init=_KAIMING, dtype=self.dtype)(x)
+            x = nn.Conv(128, (3, 3), padding=torch_padding((3, 3)),
+                        kernel_init=_KAIMING, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(self.output_size, dtype=self.dtype)(x).astype(jnp.float32)
