@@ -100,6 +100,36 @@ class SegmentationUncertaintyTask:
         loss, logs = self.loss(model, variables, batch, rng=None, train=False)
         return logs
 
+    def val_figure(self, model, variables, batch, max_items: int = 4):
+        """Per-val-epoch overlay panel (reference uncertainty.py:100-104):
+        image, GT boundary, predicted label map."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        img = batch[Tags.img][:max_items]
+        probs = self._activate(model.apply(variables, img)["out"])
+        probs = np.asarray(probs)
+        if probs.shape[1] == 1:
+            pred = (probs[:, 0] > 0.5).astype(np.int32)
+        else:
+            pred = probs.argmax(axis=1)
+        n = img.shape[0]
+        fig, axes = plt.subplots(1, n, figsize=(3 * n, 3), squeeze=False)
+        gt = batch.get(Tags.gt)
+        for i, ax in enumerate(axes[0]):
+            ax.imshow(np.asarray(img[i, 0]), cmap="gray")
+            ax.imshow(pred[i], alpha=0.35, cmap="viridis",
+                      interpolation="nearest")
+            if gt is not None:
+                ax.contour(np.asarray(gt[i]), levels=[0.5], colors="lime",
+                           linewidths=0.8)
+            ax.set_axis_off()
+        fig.tight_layout()
+        return fig
+
     # ----------------------------------------------------------------- predict
 
     def predict_probs(self, model, variables, img, rng):
