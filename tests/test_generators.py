@@ -146,3 +146,39 @@ def test_generate_jsrt_roundtrip(tmp_path):
     # intensity inversion: raw 4095 -> ~0, raw 0 -> 255 (scaled to [0,1])
     assert 0.0 <= arrays[Tags.img].min() and arrays[Tags.img].max() <= 1.0
     assert len(list(data.predict_views("test"))) == 1
+
+
+def test_generate_camus_reverses_es_before_ed(tmp_path):
+    """Views whose info file puts ES before ED must be written in
+    chronological ED->ES order (generator.py:221-228)."""
+    import h5py
+
+    root = tmp_path / "raw"
+    (root / "listSubGroups").mkdir(parents=True)
+    for subset in ("training", "validation", "testing"):
+        (root / "listSubGroups" / f"subGroup5_{subset}.txt").write_text("p1\n")
+    rng = np.random.default_rng(7)
+    pdir = root / "p1"
+    pdir.mkdir()
+    frames, gts = [], []
+    for i in range(4):
+        img, gt, _ = make_sample(rng, size=256)
+        frames.append((img * 255).astype(np.uint8))
+        gts.append(gt.astype(np.uint8))
+    # mark frame 0 and 3 distinguishably via the image mean
+    frames[0][:] = 10
+    frames[3][:] = 240
+    write_mhd(pdir / "p1_2CH_half_sequence.mhd", np.stack(frames))
+    write_mhd(pdir / "p1_2CH_half_sequence_gt.mhd", np.stack(gts))
+    # ES first (frame 1 -> index 0), ED last (frame 4 -> index 3)
+    (pdir / "Info_2CH.cfg").write_text("ED: 4\nES: 1\nNbFrame: 4\n")
+
+    out = tmp_path / "rev.h5"
+    generate_camus(root, out, folds=(5,))
+    with h5py.File(out, "r") as f:
+        g = f["p1/2CH"]
+        assert g.attrs["ED"] == 0 and g.attrs["ES"] == 1
+        # original frame 3 (bright) was ED -> now first; frame 0 (dark) was ES
+        imgs = np.asarray(g["img_proc"])
+        assert imgs[0].mean() > imgs[1].mean()
+        assert abs(imgs[0].mean() - 240) < 2 and abs(imgs[1].mean() - 10) < 2
