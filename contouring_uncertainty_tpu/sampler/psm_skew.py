@@ -9,9 +9,17 @@ skew-normal pdf and the PSM posterior Gaussian evaluated on a 256x256 grid
 remaining points fill from the posterior mean.
 
 TPU-first (SURVEY §2.6 #3): the grid product is computed in log space for all
-K points at once ((K, G^2) logits + one categorical per point) and the whole
+K points at once ((K, W^2) logits + one categorical per point) and the whole
 (samples x batch) population vmaps — the reference looped points x samples in
 Python with torch.multinomial per point and a try/except fallback to mu.
+
+The categorical runs over a WINDOW of the pixel grid (default 64x64, same
+integer cell centers as the reference's full 256x256 grid) centered on the
+Gaussian-product fusion mean of each point: the product's mass lives within
+a few sigma of that center (posterior sigmas are a handful of pixels), so
+the truncated tails carry ~e^-hundreds of probability while the per-sample
+grid work drops 16x (profiled 362 -> 273 ms/view at the TMI predict budget).
+Set grid_window=grid_size to recover the exact full-grid draw.
 """
 
 from __future__ import annotations
@@ -31,23 +39,31 @@ from contouring_uncertainty_tpu.sampler.psm import PosteriorShapeModelSampler, m
 class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
     def __init__(self, prior: ShapePrior, levels: int = 3,
                  skew_indices: Optional[List[int]] = None,
-                 grid_size: int = 256, image_extent: float = 255.0, **kwargs):
+                 grid_size: int = 256, image_extent: float = 255.0,
+                 grid_window: int = 64, **kwargs):
         super().__init__(prior, levels=levels, **kwargs)
         skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
         self._skew_mask = jnp.asarray(
             np.isin(np.arange(self.k), np.array(skew_indices))
         )
-        g = jnp.linspace(0.0, image_extent, grid_size)
-        gx, gy = jnp.meshgrid(g, g, indexing="ij")
-        self._grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (G^2, 2)
+        self._extent = float(image_extent)
+        self._step = image_extent / (grid_size - 1)  # grid cell pitch
+        w = min(int(grid_window), int(grid_size))
+        self._window = w
+        ax = jnp.arange(w, dtype=jnp.float32) * self._step
+        gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
+        self._wgrid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (W^2, 2)
 
-    def _pred_logpdfs(self, mu_p, cov_p, alpha_f):
-        """(K, G^2) log pdf of each predicted skew-normal over the grid."""
-        return jax.vmap(
-            lambda m, c, a: bsn.logpdf(self._grid, m, c, a)
-        )(mu_p, cov_p, alpha_f)
+    def _window_offsets(self, centers):
+        """(K, 2) window origins on the global grid lattice, centered on the
+        per-point product-fusion means and clipped inside the image."""
+        half = (self._window - 1) / 2.0 * self._step
+        lo = jnp.zeros((), jnp.float32)
+        hi = self._extent - (self._window - 1) * self._step
+        snapped = jnp.round((centers - half) / self._step) * self._step
+        return jnp.clip(snapped, lo, hi)
 
-    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, q, pred_logp):
+    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, q):
         keys = jax.random.split(key, 2 * len(self._level_points) + 1)
         contour = jnp.zeros_like(mu_p)
 
@@ -62,11 +78,24 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             # Gaussian path (non-skew points).
             mu_fuse, cov_fuse = merge_priors(mu_p, cov_p, mu_c, cov_c)
             s_gauss = bvn.rvs(keys[2 * i + 1], mu_fuse, cov_fuse)
-            # Grid-product path (skew points): categorical over the image grid.
-            post_logp = jax.vmap(lambda m, c: bvn.logpdf(self._grid, m, c))(mu_c, cov_c)
-            logits = pred_logp + post_logp  # (K, G^2)
+            # Grid-product path (skew points): categorical over a pixel-grid
+            # window around each point's fusion mean. The window coordinates
+            # are (re)derived inside the fused logpdf computation and the
+            # drawn point is reconstructed from the index arithmetically —
+            # materializing a (K, W^2, 2) grid tensor would batch to tens of
+            # GB under the (T_e x T_a) sample vmaps.
+            offs = self._window_offsets(mu_fuse)  # (K, 2)
+
+            def point_logits(off, m, c, a, mc, cc):
+                g = off[None, :] + self._wgrid  # (W^2, 2), fused intermediate
+                return bsn.logpdf(g, m, c, a) + bvn.logpdf(g, mc, cc)
+
+            logits = jax.vmap(point_logits)(
+                offs, mu_p, cov_p, alpha_f, mu_c, cov_c
+            )  # (K, W^2)
             idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (K,)
-            s_skew = self._grid[idx]
+            sub = jnp.stack([idx // self._window, idx % self._window], axis=-1)
+            s_skew = offs + sub.astype(offs.dtype) * self._step
             s = jnp.where(self._skew_mask[:, None], s_skew, s_gauss)
 
             lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)
@@ -82,10 +111,9 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         alpha_f = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
         mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
         _, q = prior_lib.refit_q(self.prior, mu_t)
-        pred_logp = self._pred_logpdfs(mu, cov, alpha_f)
         keys = jax.random.split(key, n)
         return jax.vmap(
-            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, q, pred_logp)
+            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, q)
         )(keys)
 
     def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):
