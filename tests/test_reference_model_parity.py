@@ -158,3 +158,88 @@ def _residual_state(params):
         _conv_block(state, f"upsamples.{j}.conv_block", up["ConvBlock_0"])
     _conv(state, "output_block.conv", params["OutputBlock_0"]["Conv_0"])
     return state
+
+
+def test_trained_model_end_to_end_parity_with_torch_reference():
+    """BASELINE.md parity protocol, executable form: train OUR flagship-
+    architecture model briefly, port the TRAINED weights into the
+    reference's torch UNet, run the reference's own DSNT math
+    (task/regression/dsnt/utils.py) on the torch side, and compare
+    against our pipeline on the same batch.
+
+    Gate: per-point NLL within 1% and landmark coordinates within 0.1 px —
+    any framework-level numerical divergence (conv/norm/softmax/moments)
+    would show up here on real trained heatmaps."""
+    from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+    from contouring_uncertainty_tpu.data.synthetic import make_arrays
+    from contouring_uncertainty_tpu.ops import dsnt as D
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+    from contouring_uncertainty_tpu.train.trainer import Trainer, TrainerConfig
+
+    size, k = 96, 21
+    imgs, gts, contours = make_arrays(16, k=k, size=size, seed=9)
+    arrays = {Tags.img: imgs.astype(np.float32),
+              Tags.gt: gts.astype(np.int32),
+              Tags.contour: contours.astype(np.float32)}
+    dp = DataParams(in_shape=(1, size, size), out_shape=(k, 2),
+                    labels=(Label.BG, Label.LV))
+    task = DSNTAleatoric(data_params=dp, model_kwargs=dict(
+        kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3))
+    cfg = TrainerConfig(batch_size=8, max_epochs=10, patience=100, lr=1e-3,
+                        seed=2, save_path="/tmp/cutpu_parity_run",
+                        name="parity", augment=False, log_figures=False)
+    trainer = Trainer(task, cfg)
+    variables, _ = trainer.fit(arrays, arrays)
+
+    batch = jnp.asarray(arrays[Tags.img][:8])
+    y = jnp.asarray(arrays[Tags.contour][:8])
+
+    # ---- ours --------------------------------------------------------------
+    model = trainer.model
+    logits_ours = np.asarray(model.apply(variables, batch)["out"])
+    mu_ours, sig_ours = D.logits_to_pixel_gaussians(jnp.asarray(logits_ours))
+    nll_ours = D.gaussian_nll(mu_ours, sig_ours, y)[0]
+
+    # ---- reference (torch), same trained weights ---------------------------
+    ref_dsnt = pytest.importorskip(
+        "contour_uncertainty.task.regression.dsnt.utils")
+    n_st = 4
+    global N_STAGES
+    old = N_STAGES
+    N_STAGES = n_st
+    try:
+        state = flax_to_torch_state(variables["params"], n_st)
+    finally:
+        N_STAGES = old
+    ref = ref_unet_mod.UNet(
+        input_shape=(1, size, size), output_shape=(k, size, size),
+        patch_size=[size, size], kernels=[[3, 3]] * n_st,
+        strides=[[1, 1]] + [[2, 2]] * (n_st - 1))
+    result = ref.load_state_dict(state, strict=False)
+    assert all("deep_supervision" in kk for kk in result.missing_keys)
+    ref.eval()
+    with torch.no_grad():
+        logits_ref = ref(torch.tensor(np.asarray(batch)))
+        # reference DSNT-AL predict math (dsnt_al.py:45-71)
+        probs = ref_dsnt.flat_softmax(logits_ref)
+        coords, var, covar = ref_dsnt.dsnt(probs)
+        mu_ref = ref_dsnt.normalized_to_pixel_coordinates(
+            coords, (size, size)).numpy()
+
+    # logits from identical weights agree to f32 conv tolerance
+    np.testing.assert_allclose(logits_ours, logits_ref.numpy(),
+                               atol=5e-3, rtol=1e-3)
+    # landmark coordinates within 0.1 px
+    assert np.abs(np.asarray(mu_ours) - mu_ref).max() < 0.1
+    # per-point NLL via the reference's variances within 1%
+    scale = (size / 2.0) ** 2
+    var_px = np.maximum(var.numpy() * scale, 1e-2)
+    cov_px = covar.numpy() * scale
+    mc = 0.999 * np.sqrt(var_px[..., 0] * var_px[..., 1])
+    cov_px = np.clip(cov_px, -mc, mc)
+    sig_ref = np.stack([
+        np.stack([var_px[..., 0], cov_px], -1),
+        np.stack([cov_px, var_px[..., 1]], -1)], -2)
+    nll_ref = D.gaussian_nll(jnp.asarray(mu_ref), jnp.asarray(sig_ref), y)[0]
+    rel = abs(float(nll_ours.mean()) - float(nll_ref.mean())) / abs(float(nll_ref.mean()))
+    assert rel < 0.01, (float(nll_ours.mean()), float(nll_ref.mean()))
