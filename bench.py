@@ -78,7 +78,57 @@ def main():
         line["predict_views_per_sec"] = round(_bench_predict_pipeline(), 2)
     except Exception as exc:  # secondary metric must not break the headline
         line["predict_views_per_sec_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        line.update(_parity_checks())
+    except Exception as exc:
+        line["parity_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(line))
+
+
+def _parity_checks() -> dict:
+    """On-chip parity of the two approximate/custom compute paths (VERDICT r2
+    weak #5 / ADVICE r2): compiled Pallas DSNT vs the XLA path, and
+    approx_min_k scanline selection vs exact top_k. Runs on whatever backend
+    bench runs on (the real TPU under the driver), so compiled-kernel
+    regressions land in BENCH_r*.json instead of hiding behind CPU
+    interpret mode."""
+    from contouring_uncertainty_tpu.ops.dsnt import raw6_to_pixel_gaussians
+    from contouring_uncertainty_tpu.ops.pallas_dsnt import (
+        _raw_moments_pallas,
+        _raw_moments_xla,
+    )
+    from contouring_uncertainty_tpu.ops.rasterize import approx_parity_check
+
+    out = {}
+    rng = np.random.default_rng(7)
+    # Gaussian-blob logits with 2-8 px spreads — the operating regime of a
+    # trained DSNT head (random noise collapses the softmax to a delta and
+    # the sigma comparison degenerates to the 1e-2 px^2 floor).
+    n = 4 * 21
+    ys, xs = np.mgrid[0:256, 0:256].astype(np.float32)
+    cx = rng.uniform(40, 216, n)[:, None, None]
+    cy = rng.uniform(40, 216, n)[:, None, None]
+    s = rng.uniform(2.0, 8.0, n)[:, None, None]
+    blobs = -((xs - cx) ** 2 + (ys - cy) ** 2) / (2.0 * s * s)
+    logits = jnp.asarray(blobs.reshape(n, 256 * 256), jnp.bfloat16)
+    if jax.default_backend() != "cpu":
+        raw_k = jax.jit(lambda x: _raw_moments_pallas(x, 256, 256))(logits)
+        raw_x = jax.jit(lambda x: _raw_moments_xla(x, 256, 256))(logits)
+        mu_k, sig_k = raw6_to_pixel_gaussians(raw_k[:, :6], 256, 256)
+        mu_x, sig_x = raw6_to_pixel_gaussians(raw_x[:, :6], 256, 256)
+        out["dsnt_pallas_max_mu_err_px"] = float(
+            jnp.max(jnp.abs(mu_k - mu_x))
+        )
+        # Sigma error normalized by each point's covariance SCALE (mean of
+        # the diagonal), not element-wise: off-diagonals are legitimately
+        # ~0 for axis-aligned blobs and an element-wise ratio there measures
+        # noise/noise, not kernel accuracy.
+        scale = (sig_x[..., 0, 0] + sig_x[..., 1, 1])[..., None, None] / 2.0
+        out["dsnt_pallas_max_sigma_rel_err"] = float(
+            jnp.max(jnp.abs(sig_k - sig_x) / scale)
+        )
+    out["rasterize_approx_mismatch_px"] = approx_parity_check(n_contours=64)
+    return out
 
 
 def _bench_predict_pipeline() -> float:

@@ -93,12 +93,24 @@ def write_mhd(path: Path, array: np.ndarray, spacing=(1.0, 1.0, 1.0),
     (path.parent / data_name).write_bytes(raw)
 
 
-def _resize(image: np.ndarray, size: Tuple[int, int], bilinear: bool) -> np.ndarray:
+def _resize(image: np.ndarray, size: Tuple[int, int], bilinear: bool,
+            bicubic: bool = False) -> np.ndarray:
     """PIL resize mirroring vital.utils.image.transform.resize_image
-    (size = (W, H) in PIL convention; here we take (H, W))."""
+    (size = (W, H) in PIL convention; here we take (H, W)).
+
+    ``bicubic=True`` selects PIL's default BICUBIC filter — the JSRT generator
+    (reference jsrt_generator.py:58,68) calls ``Image.resize`` with no filter
+    argument, which is BICUBIC, while the CAMUS pipeline explicitly requests
+    BILINEAR/NEAREST.
+    """
     from PIL import Image
 
-    resample = Image.Resampling.BILINEAR if bilinear else Image.Resampling.NEAREST
+    if bicubic:
+        resample = Image.Resampling.BICUBIC
+    elif bilinear:
+        resample = Image.Resampling.BILINEAR
+    else:
+        resample = Image.Resampling.NEAREST
     h, w = size
     return np.array(Image.fromarray(image).resize((w, h), resample=resample))
 
@@ -240,7 +252,9 @@ def generate_jsrt(
         {data_dir}/All247images/{id}.IMG             (raw big-endian uint16)
 
     Per scan: invert + scale the raw intensities ((1 - img/4096) * 255),
-    resize to 1024 then to `target_image_size` with landmark rescaling, keep
+    resize to 1024 then to `target_image_size` (BICUBIC, PIL's default filter
+    and hence the reference's — jsrt_generator.py:58,68) with landmark
+    rescaling, keep
     the first 44+50+26 landmarks (right lung, left lung, heart) and
     rasterize them into the groundtruth label map.
     """
@@ -267,7 +281,7 @@ def generate_jsrt(
                 raw = np.frombuffer(img_file.read_bytes(), np.dtype(">u2"))
                 img = raw.reshape(original_img_shape).astype(np.float64)
                 img = (1.0 - img / 4096.0) * 255.0
-                img = _resize(img, (1024, 1024), True)
+                img = _resize(img, (1024, 1024), True, bicubic=True)
 
                 landmarks = np.load(landmark_dir / f"{item_id}.npy")
                 landmarks = landmarks.astype(np.float64).reshape(-1, 2)
@@ -275,7 +289,7 @@ def generate_jsrt(
                 h, w = target_image_size
                 scale_y = h / img.shape[0]
                 scale_x = w / img.shape[1]
-                img = _resize(img, (h, w), True)
+                img = _resize(img, (h, w), True, bicubic=True)
                 landmarks = landmarks.copy()
                 landmarks[..., 1] *= scale_y
                 landmarks[..., 0] *= scale_x

@@ -17,7 +17,7 @@ which is algebraically identical to the reference's explicit
 sum(p * (X - mu)^2) formulation but reads the heatmap once.
 
 XLA fuses the softmax into the matmul's epilogue; a further Pallas variant
-lives in ops/pallas/dsnt_pallas.py for the single-pass fused reduction.
+lives in ops/pallas_dsnt.py for the single-pass fused reduction.
 """
 
 from __future__ import annotations
@@ -146,9 +146,10 @@ def logits_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
     On TPU with bfloat16 logits (the flagship serving path emits the head in
     bf16 — models/unet.py `head_dtype`), this routes through the single-pass
     Pallas online-softmax kernel (ops/pallas_dsnt.py), which reads the
-    heatmaps from HBM exactly once: measured 29.5 vs 48 us/frame for the XLA
-    path at batch 128 x K21 x 256^2 on v5e. f32 logits keep the XLA path
-    (the f32 DMA erases the kernel's gain).
+    heatmaps from HBM exactly once: measured 19.5 vs 22.3 us/frame for the
+    XLA path at batch 128 x K21 x 256^2 on v5e (round 3, after the moment
+    matmul moved to full f32 precision for sigma correctness). f32 logits
+    keep the XLA path (the f32 DMA erases the kernel's gain).
 
     Returns (mu (..., K, 2), sigma (..., K, 2, 2)).
     """

@@ -1,12 +1,14 @@
 """Fused DSNT Pallas kernel: online softmax + all spatial moments, ONE pass.
 
 The XLA path (ops/dsnt.py) lowers to several HBM passes over the (B, K, H, W)
-heatmap tensor (max, exp/sum, normalize, moment matmul) — measured 47 us/frame
-at batch 128 on v5e for the flagship 21x256^2 head. This kernel streams the
-flat (B*K, H*W) logits through VMEM exactly once: per grid step a
+heatmap tensor (max, exp/sum, normalize, moment matmul) — measured 22.3
+us/frame at batch 128 on v5e for the flagship 21x256^2 head. This kernel
+streams the flat (B*K, H*W) logits through VMEM exactly once: per grid step a
 (ROWS, LANE_CHUNK) tile is softmaxed *online* (flash-attention-style running
 max/rescale) and its eight monomial moment partials are accumulated in a VMEM
 scratch, so the heatmaps are read once and nothing else touches HBM.
+Measured 19.5 us/frame (round 3, full-f32 moment matmul — a bf16-term matmul
+is ~11.5 us/frame but corrupts small sigmas at 256^2; see _dsnt_kernel).
 
 Layout notes (the round-1 3-D kernel took ~6 min of Mosaic compile and is
 replaced by this): blocks are strictly 2-D (sublanes = heatmap rows,
@@ -55,19 +57,10 @@ def _basis_matrix(height: int, width: int) -> jnp.ndarray:
     return cols.T
 
 
-def _split_basis_matrix(height: int, width: int) -> jnp.ndarray:
-    """(HW, 16) bf16 split basis: columns [b_hi | b_lo] with
-    b_hi + b_lo == b exactly-ish (two bf16 limbs of the f32 basis)."""
-    b = _basis_matrix(height, width)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([b_hi, b_lo], axis=1)
-
-
 def _dsnt_kernel(x_ref, b_ref, out_ref, m_scr, t_scr):
     """Online softmax-moment accumulation over lane chunks.
 
-    x_ref: (ROWS, LANES) logits chunk; b_ref: (LANES, 16) split basis chunk.
+    x_ref: (ROWS, LANES) logits chunk; b_ref: (LANES, 8) f32 basis chunk.
     m_scr: (ROWS, 1) running max; t_scr: (ROWS, 8) running unnormalized
     moment sums (column 0 doubles as the softmax normalizer because basis
     column 0 is the constant 1).
@@ -85,18 +78,20 @@ def _dsnt_kernel(x_ref, b_ref, out_ref, m_scr, t_scr):
     m_old = m_scr[:]
     m_new = jnp.maximum(m_old, bm)
     alpha = jnp.exp(m_old - m_new)
-    # exp in bf16 via the hardware exp2: the moment matmul rounds its terms
-    # to bf16 on the MXU anyway, so a bf16 exponential adds no extra error.
-    e = jnp.exp2((x - m_new) * 1.4426950408889634).astype(jnp.bfloat16)
+    e = jnp.exp2((x - m_new) * 1.4426950408889634)  # f32
 
-    b = b_ref[:]  # (LANES, 16) split basis [b_hi | b_lo], bf16
+    b = b_ref[:]  # (LANES, 8) f32 basis
     # Moment partials as ONE MXU matmul: reads e from VMEM once. (The
     # 8-separate-lane-reduction VPU form re-reads e per moment and measured
-    # ~8x slower despite the MXU N-padding here.) The basis is split into
-    # bf16 hi+lo halves (b = b_hi + b_lo exactly in f32) so the static
-    # operand contributes ~16 mantissa bits; N pads to 128 either way.
-    part16 = jnp.dot(e, b, preferred_element_type=jnp.float32)  # (ROWS, 16)
-    part = part16[:, :_N_MOM] + part16[:, _N_MOM:]
+    # ~8x slower despite the MXU N-padding here.) The matmul runs at FULL f32
+    # precision: the variance later derives as E[x^2] - E[x]^2, and at 256^2
+    # that cancellation leaves only ~(sigma_px/128)^2 ~ 1e-3 of the raw
+    # moments' magnitude — bf16 terms (tried first: split-basis hi/lo limbs
+    # with a bf16 exp) corrupt small sigmas by up to ~100% for off-center
+    # landmarks (caught by bench.py's on-chip parity check, round 3). The
+    # f32 multi-pass matmul costs ~1 us/frame extra on a ~22 MFLOP/frame op.
+    part = jnp.dot(e, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (ROWS, 8)
 
     t_scr[:] = t_scr[:] * alpha + part
     m_scr[:] = m_new
@@ -120,7 +115,7 @@ def _raw_moments_pallas(
     while hw % lanes:
         lanes //= 2
     assert hw % lanes == 0, (hw, lanes)
-    basis = _split_basis_matrix(height, width)
+    basis = _basis_matrix(height, width)
     grid = (rows_p // block_rows, hw // lanes)
     out = pl.pallas_call(
         _dsnt_kernel,
@@ -129,7 +124,7 @@ def _raw_moments_pallas(
         in_specs=[
             pl.BlockSpec((block_rows, lanes), lambda r, c: (r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lanes, 2 * _N_MOM), lambda r, c: (c, 0),
+            pl.BlockSpec((lanes, _N_MOM), lambda r, c: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

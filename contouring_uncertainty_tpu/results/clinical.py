@@ -23,7 +23,11 @@ import numpy as np
 import pandas as pd
 
 from contouring_uncertainty_tpu.results import register
-from contouring_uncertainty_tpu.results.utils import _pearson
+from contouring_uncertainty_tpu.results.utils import (
+    _pearson,
+    compute_adaptive_calibration,
+    compute_calibration,
+)
 from contouring_uncertainty_tpu.utils import clinical as C
 
 
@@ -57,6 +61,104 @@ def _metric_row(pred, gt, mc, min_value, max_value):
         "reject": bool(reject),
         "sample_reject_frac": float(sample_reject.mean()),
     }
+
+
+def merge_volume_df(patient_df: pd.DataFrame) -> pd.DataFrame:
+    """Fold the patient EDV/ESV columns into per-instant 'Volume' rows
+    ('{patient}/ED' and '{patient}/ES') — the reference's fourth clinical
+    dataframe (clinical_metrics.py:146-155 merge_volume_df)."""
+    esv = patient_df.filter(regex="^ESV_").copy()
+    esv.index = [f"{p}/ES" for p in esv.index]
+    esv.columns = [c.replace("ESV_", "Volume_") for c in esv.columns]
+    edv = patient_df.filter(regex="^EDV_").copy()
+    edv.index = [f"{p}/ED" for p in edv.index]
+    edv.columns = [c.replace("EDV_", "Volume_") for c in edv.columns]
+    return pd.concat([esv, edv])
+
+
+def plot_metric_calibration(df: pd.DataFrame, metric: str, out_dir: Path,
+                            summary: Dict) -> None:
+    """MC-distribution calibration of one clinical metric: uniform + adaptive
+    UCE curves with bin-occupancy bars, '{metric}_calibration.png', and
+    '{metric}_uce'/'{metric}_a-uce' summary keys (reference
+    clinical_metrics.py:209-257 plot_calibration). Rejected rows are filtered
+    out of the curves like the reference (:222-225)."""
+    std_col, err_col = f"{metric}_std", f"{metric}_error"
+    if std_col not in df.columns or err_col not in df.columns:
+        return
+    std = df[std_col].astype(float).to_numpy()
+    err = df[err_col].astype(float).to_numpy()
+    ok = np.isfinite(std) & np.isfinite(err)
+    std, err = std[ok], err[ok]
+    if len(std) < 2:
+        return
+    filters = None
+    if f"{metric}_reject" in df.columns:
+        filters = ~df[f"{metric}_reject"].astype(bool).to_numpy()[ok]
+        if filters.sum() < 2:
+            filters = None
+    uce, conf, acc, sizes = compute_calibration(err, std, filters=filters)
+    a_uce, a_conf, a_acc, _ = compute_adaptive_calibration(err, std, filters=filters)
+    summary[f"{metric}_uce"] = uce
+    summary[f"{metric}_a-uce"] = a_uce
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    f, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 5))
+    ax1.plot(conf, acc, marker="o")
+    ax2.plot(a_conf, a_acc, marker="o")
+    ax12 = ax1.twinx()
+    width = np.min(np.diff(conf)) / 2 if len(conf) > 1 else None
+    ax12.bar(conf, sizes, alpha=0.7, **({"width": width} if width else {}))
+    for ax, u, title in ((ax1, uce, "UCE"), (ax2, a_uce, "A-UCE")):
+        ax.plot(ax.get_xlim(), ax.get_xlim(), "--", c="k")
+        ax.set_title(f"{title}={u:.3f}")
+        ax.set_ylabel(f"{metric} error")
+        ax.set_xlabel(f"$\\sigma_{{{metric}}}$")
+    plt.tight_layout()
+    plt.savefig(out_dir / f"{metric}_calibration.png", dpi=80)
+    plt.close(f)
+
+
+def plot_metric_correlation(df: pd.DataFrame, metric: str, out_dir: Path,
+                            x: str = "gt", y: str = "pred",
+                            color: Optional[str] = "std") -> None:
+    """Scatter dashboard of one clinical metric (reference
+    clinical_metrics.py:157-198 plot_correlation): y-vs-x with the identity
+    line and Pearson r, optionally colored by the MC std."""
+    x_col, y_col = f"{metric}_{x}", f"{metric}_{y}"
+    if x_col not in df.columns or y_col not in df.columns:
+        return
+    xs = df[x_col].astype(float).to_numpy()
+    ys = df[y_col].astype(float).to_numpy()
+    ok = np.isfinite(xs) & np.isfinite(ys)
+    if ok.sum() < 2:
+        return
+    xs, ys = xs[ok], ys[ok]
+    cs = None
+    if color is not None and f"{metric}_{color}" in df.columns:
+        cs = df[f"{metric}_{color}"].astype(float).to_numpy()[ok]
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    f, ax = plt.subplots(figsize=(5, 5))
+    sc = ax.scatter(xs, ys, c=cs, cmap="viridis" if cs is not None else None)
+    lo, hi = min(xs.min(), ys.min()), max(xs.max(), ys.max())
+    ax.plot([lo, hi], [lo, hi], "--", c="k")
+    ax.set_xlabel(f"{metric} {x}")
+    ax.set_ylabel(f"{metric} {y}")
+    ax.set_title(f"r={_pearson(xs, ys):.3f}")
+    if cs is not None:
+        f.colorbar(sc, label=f"{metric} std")
+    plt.tight_layout()
+    plt.savefig(out_dir / f"{metric}_correlation_{y}_{x}.png", dpi=80)
+    plt.close(f)
 
 
 _area_batch = jax.jit(lambda masks: C.lv_area(masks))
@@ -176,10 +278,12 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
         patient_rows[pid] = row
 
     summary = {}
+    dfs = {}
     for name, rows in (("instant", instant_rows), ("view", view_rows), ("patient", patient_rows)):
         if not rows:
             continue
         df = pd.DataFrame(rows).T
+        dfs[name] = df
         df.to_csv(out_dir / f"{name}_df.csv")
         for col in df.columns:
             if col.endswith("_error"):
@@ -199,4 +303,31 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
             df = pd.DataFrame(rows).T
             for col in [c for c in df.columns if c.endswith("_reject")]:
                 summary[f"{name}/{col}_rate"] = float(df[col].astype(bool).mean())
+
+    # Fourth dataframe: per-instant Volume view of the patient EDV/ESV rows
+    # (reference clinical_metrics.py:119-125).
+    if "patient" in dfs:
+        volume_df = merge_volume_df(dfs["patient"])
+        volume_df.to_csv(out_dir / "volume_df.csv")
+        dfs["volume"] = volume_df
+
+    # Metric-level calibration + correlation dashboards over the MC
+    # distributions — the TMI paper's core deliverable (reference
+    # clinical_metrics.py:73-125 calls plot_calibration/plot_correlation per
+    # clinical metric family).
+    families = {
+        "instant": ("Area",),
+        "view": ("FAC", "GLS"),
+        "patient": ("EF", "ESV", "EDV"),
+        "volume": ("Volume",),
+    }
+    for name, metrics in families.items():
+        df = dfs.get(name)
+        if df is None:
+            continue
+        for metric in metrics:
+            plot_metric_calibration(df, metric, out_dir, summary)
+            plot_metric_correlation(df, metric, out_dir)  # gt vs pred, std-colored
+            plot_metric_correlation(df, metric, out_dir, x="pred", y="mean",
+                                    color=None)
     return summary

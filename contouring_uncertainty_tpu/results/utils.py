@@ -32,8 +32,13 @@ def dice(pred: np.ndarray, gt: np.ndarray, labels, all_classes: bool = False) ->
     return out
 
 
-def compute_calibration(error: np.ndarray, uncertainty: np.ndarray, nb_bins: int = 10):
-    """Uniform-bin UCE (reference results/utils/calibration.py:6-33)."""
+def compute_calibration(error: np.ndarray, uncertainty: np.ndarray, nb_bins: int = 10,
+                        filters: Optional[np.ndarray] = None):
+    """Uniform-bin UCE (reference results/utils/calibration.py:6-33);
+    `filters` keeps only the marked samples (reference :7-10)."""
+    if filters is not None:
+        keep = np.asarray(filters, bool)
+        error, uncertainty = error[keep], uncertainty[keep]
     bounds = np.linspace(uncertainty.min(), uncertainty.max(), nb_bins + 1)
     ece = 0.0
     conf, acc, sizes = [], [], []
@@ -50,8 +55,12 @@ def compute_calibration(error: np.ndarray, uncertainty: np.ndarray, nb_bins: int
     return float(ece), conf, acc, sizes
 
 
-def compute_adaptive_calibration(error: np.ndarray, uncertainty: np.ndarray, nb_bins: int = 10):
+def compute_adaptive_calibration(error: np.ndarray, uncertainty: np.ndarray, nb_bins: int = 10,
+                                 filters: Optional[np.ndarray] = None):
     """Equal-mass-bin UCE (reference :36-66)."""
+    if filters is not None:
+        keep = np.asarray(filters, bool)
+        error, uncertainty = error[keep], uncertainty[keep]
     idx = np.argsort(uncertainty)
     u_bins = np.array_split(uncertainty[idx], nb_bins)
     e_bins = np.array_split(error[idx], nb_bins)

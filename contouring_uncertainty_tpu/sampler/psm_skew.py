@@ -40,7 +40,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
     def __init__(self, prior: ShapePrior, levels: int = 3,
                  skew_indices: Optional[List[int]] = None,
                  grid_size: int = 256, image_extent: float = 255.0,
-                 grid_window: int = 64, **kwargs):
+                 grid_window: Optional[int] = 64, **kwargs):
         super().__init__(prior, levels=levels, **kwargs)
         skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
         self._skew_mask = jnp.asarray(
@@ -48,11 +48,55 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         )
         self._extent = float(image_extent)
         self._step = image_extent / (grid_size - 1)  # grid cell pitch
-        w = min(int(grid_window), int(grid_size))
+        # Window sizing against silent truncation: the grid-product density's
+        # sigma is bounded by the PSM-posterior factor's, whose covariance
+        # (sigma_l^2 Q A^-1 Q^T) is *static* per level — it depends only on
+        # the level masks, the prior Q, and the level sigma, never on the
+        # sampled contour or the network's predicted sigmas (which can blow
+        # up but only ever shrink the product). A window covering >= 6 of
+        # that bound therefore holds the truncated mass at the Gaussian-tail
+        # level no matter how poorly trained the model is. grid_window=None
+        # derives the window from the bound automatically; an explicit
+        # window smaller than the bound warns once at construction.
+        max_std_px = self._posterior_std_bound_px()
+        needed = int(np.ceil(6.0 * max_std_px / self._step)) + 1
+        if grid_window is None:
+            w = min(max(needed, 32), int(grid_size))
+        else:
+            w = min(int(grid_window), int(grid_size))
+            if w < min(needed, int(grid_size)):
+                import warnings
+
+                warnings.warn(
+                    f"SkewPSM grid_window={w} covers less than 6 prior sigmas "
+                    f"({max_std_px:.1f} px max marginal prior std needs "
+                    f"~{needed} cells): grid-product samples may truncate "
+                    "tail mass. Pass grid_window=None to auto-size, or "
+                    "grid_window=grid_size for the exact full-grid draw.",
+                    stacklevel=2,
+                )
         self._window = w
         ax = jnp.arange(w, dtype=jnp.float32) * self._step
         gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
         self._wgrid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (W^2, 2)
+
+    def _posterior_std_bound_px(self) -> float:
+        """Max per-coordinate posterior std (pixels) over all sampling levels,
+        computed with the default prior Q (the per-prediction re-fit perturbs
+        Q only mildly). cov_c = sigma_l^2 Q (Q_g^T Q_g + sigma_l^2 I)^-1 Q^T."""
+        q = np.asarray(self.prior.q, np.float64)
+        scale = np.asarray(self.prior.train_scale, np.float64)
+        p = q.shape[0]
+        worst = 0.0
+        for mask, sigma2 in zip(
+            [np.asarray(m) for m in self._level_masks], self.sigmas
+        ):
+            q_g = q * mask[:, None]
+            a = q_g.T @ q_g + float(sigma2) * np.eye(p)
+            cov = float(sigma2) * q @ np.linalg.solve(a, q.T)
+            std_px = np.sqrt(np.maximum(np.diagonal(cov), 0.0)) * scale
+            worst = max(worst, float(std_px.max()))
+        return worst
 
     def _window_offsets(self, centers):
         """(K, 2) window origins on the global grid lattice, centered on the

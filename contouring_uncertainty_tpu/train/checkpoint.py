@@ -101,6 +101,11 @@ def resolve_checkpoint(checkpoint: str | Path) -> Path:
         # Latest by PARSED version, not list position — the API's ordering is
         # not guaranteed semver-sorted ('1.10.0' must beat '1.9.0').
         versions = comet_api.get_registry_model_versions(workspace, registry_name)
+        if not versions:
+            raise RuntimeError(
+                f"Comet registry model '{workspace}/{registry_name}' has no "
+                "versions; nothing to download"
+            )
 
         def _vkey(v):
             return tuple(int(x) if x.isdigit() else 0 for x in str(v).split("."))
@@ -108,15 +113,26 @@ def resolve_checkpoint(checkpoint: str | Path) -> Path:
         version = version_or_stage = max(versions, key=_vkey)
 
     cached = cache_home() / workspace / registry_name / version_or_stage
-    if stage:
+    if stage or not cached.exists():
+        # Stage tags move, so stage queries always refresh; but the existing
+        # cache is only replaced AFTER a successful download (a failed fetch
+        # must not leave the cache empty).
         import shutil
+        import tempfile
 
-        shutil.rmtree(cached, ignore_errors=True)  # stage tags move
-    if not cached.exists():
-        comet_api.download_registry_model(
-            workspace, registry_name, version=version, stage=stage,
-            output_path=str(cached),
-        )
+        cached.parent.mkdir(parents=True, exist_ok=True)
+        with tempfile.TemporaryDirectory(dir=cached.parent) as tmp:
+            staging = Path(tmp) / "download"
+            comet_api.download_registry_model(
+                workspace, registry_name, version=version, stage=stage,
+                output_path=str(staging),
+            )
+            if not staging.exists():
+                raise RuntimeError(
+                    f"Comet download of '{checkpoint}' produced no files"
+                )
+            shutil.rmtree(cached, ignore_errors=True)
+            shutil.move(str(staging), str(cached))
     candidates = [p for p in cached.iterdir() if (p / "state").exists()] \
         if cached.exists() else []
     if len(candidates) == 1:

@@ -101,14 +101,29 @@ def test_results_processors_end_to_end(tmp_path):
     results = run_predict(task, variables, data, cfg)
     metrics = run_processors(results, tmp_path / "results", cfg)
 
+    clin = tmp_path / "results" / "clinical"
     assert (tmp_path / "results" / "instant_metrics.csv").exists()
-    assert (tmp_path / "results" / "clinical" / "instant_df.csv").exists()
-    assert (tmp_path / "results" / "clinical" / "view_df.csv").exists()
-    assert (tmp_path / "results" / "clinical" / "patient_df.csv").exists()
+    assert (clin / "instant_df.csv").exists()
+    assert (clin / "view_df.csv").exists()
+    assert (clin / "patient_df.csv").exists()
     assert (tmp_path / "results" / "metrics.json").exists()
     assert any(k.startswith("instant_metrics/Dice") for k in metrics)
     assert any("FAC" in k for k in metrics)
     assert any("EF" in k for k in metrics)
+
+    # Fourth dataframe + metric-level MC calibration/correlation dashboards
+    # (reference clinical_metrics.py:73-125,209-257).
+    assert (clin / "volume_df.csv").exists()
+    import pandas as pd
+
+    vol = pd.read_csv(clin / "volume_df.csv", index_col=0)
+    assert any(c.startswith("Volume_") for c in vol.columns)
+    assert all(i.endswith(("/ED", "/ES")) for i in vol.index)
+    for metric in ("Area", "FAC", "EF", "Volume"):
+        assert (clin / f"{metric}_calibration.png").exists(), metric
+        assert f"clinical_metrics/{metric}_uce" in metrics or f"{metric}_uce" in metrics
+        assert (clin / f"{metric}_correlation_pred_gt.png").exists(), metric
+        assert (clin / f"{metric}_correlation_mean_pred.png").exists(), metric
     assert any(k.startswith("calibration/") for k in metrics)
     assert "mutual_info/mi_morphological_baseline" in metrics
     for k, v in metrics.items():

@@ -163,11 +163,17 @@ def test_pallas_fused_wrapper_matches_base_path():
 
 def test_pallas_kernel_interpret_parity_sharp_heatmaps():
     """The actual Pallas online-softmax kernel (interpret mode on CPU) vs the
-    XLA reference on trained-model-like sharp Gaussian heatmaps.
+    XLA reference on trained-model-like sharp Gaussian heatmaps at the
+    FLAGSHIP 256^2 resolution.
 
-    The kernel computes its moment matmul with bf16 terms (split-basis hi+lo
-    limbs), so tolerances are set by bf16 term rounding: ~1e-3 px on means,
-    ~1e-3 relative on variances — far inside the <1% NLL parity budget.
+    256^2 (not a smaller stand-in) matters: the variance derives as
+    E[x^2] - E[x]^2 and at 256^2 that cancellation leaves only
+    ~(sigma_px/128)^2 ~ 1e-3 of the raw moments' magnitude, so any low-
+    precision term rounding in the moment matmul corrupts small sigmas (the
+    round-2 bf16-term kernel passed this test at 64^2 and was up to ~100%
+    wrong on sigma at 256^2 — caught by bench.py's on-chip parity check).
+    The kernel now runs the matmul at full f32 precision; tolerances here are
+    f32 accumulation level.
     """
     from contouring_uncertainty_tpu.ops.pallas_dsnt import (
         _raw_moments_pallas,
@@ -175,14 +181,14 @@ def test_pallas_kernel_interpret_parity_sharp_heatmaps():
     )
 
     rng = np.random.default_rng(11)
-    H = W = 64
+    H = W = 256
     yy, xx = np.mgrid[0:H, 0:W]
     maps = []
-    for _ in range(24):
-        cx, cy = rng.uniform(8, W - 8), rng.uniform(8, H - 8)
-        sig = rng.uniform(1.5, 5.0)
+    for _ in range(8):
+        cx, cy = rng.uniform(16, W - 16), rng.uniform(16, H - 16)
+        sig = rng.uniform(1.5, 8.0)
         maps.append(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
-    x = jnp.asarray(np.stack(maps).reshape(24, H * W).astype(np.float32))
+    x = jnp.asarray(np.stack(maps).reshape(-1, H * W).astype(np.float32))
 
     a = np.asarray(_raw_moments_pallas(x, H, W, interpret=True))
     b = np.asarray(_raw_moments_xla(x, H, W))
@@ -196,10 +202,15 @@ def test_pallas_kernel_interpret_parity_sharp_heatmaps():
     # means within ~1e-3 px (normalized units * W/2 = px)
     assert np.abs(exa - exb).max() * W / 2 < 5e-3
     assert np.abs(eya - eyb).max() * W / 2 < 5e-3
-    # variances within 0.5% relative
+    # variances within 0.5% relative (pixel sigma^2 down to ~2.25 px^2)
     np.testing.assert_allclose(vxa, vxb, rtol=5e-3)
     np.testing.assert_allclose(vya, vyb, rtol=5e-3)
-    # bf16 input path
+    # bf16 input path: bf16 *logits* quantization shifts the softmax itself,
+    # identically for both paths — parity must still hold tightly.
     a16 = np.asarray(_raw_moments_pallas(x.astype(jnp.bfloat16), H, W, interpret=True))
     b16 = np.asarray(_raw_moments_xla(x.astype(jnp.bfloat16), H, W))
     np.testing.assert_allclose(a16[:, 1:3], b16[:, 1:3], atol=2e-4)
+    exa16, eya16, vxa16, vya16 = derive(a16)
+    exb16, eyb16, vxb16, vyb16 = derive(b16)
+    np.testing.assert_allclose(vxa16, vxb16, rtol=5e-3)
+    np.testing.assert_allclose(vya16, vyb16, rtol=5e-3)
