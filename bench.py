@@ -82,7 +82,105 @@ def main():
         line.update(_parity_checks())
     except Exception as exc:
         line["parity_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        line.update(_bench_aggregate_serving())
+    except Exception as exc:
+        line["aggregate_error"] = f"{type(exc).__name__}: {exc}"
+    try:
+        line["train_frames_per_sec"] = round(_bench_train_step(), 1)
+    except Exception as exc:
+        line["train_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(line))
+
+
+def _bench_train_step() -> float:
+    """Flagship dsnt-al TRAINING throughput (bf16 model, adamw, donated
+    state, batch 64) so the driver tracks training perf alongside serving
+    (VERDICT r2 weak #2: training was absent from BENCH_r*.json). Mirrors
+    Trainer._build_steps exactly (train/trainer.py:91-102)."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    batch_size = 64
+    task = DSNTAleatoric(
+        data_params=DataParams(in_shape=(1, 256, 256), out_shape=(21, 2),
+                               labels=(Label.BG, Label.LV)),
+        model_kwargs={"dtype": jnp.bfloat16},
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adamw(1e-3, weight_decay=1e-3),
+    )
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            return task.loss(model, {"params": params}, batch, rng, train=True)
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), logs
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    batch = {
+        Tags.img: jnp.asarray(rng.normal(size=(batch_size, 1, 256, 256)),
+                              jnp.float32),
+        Tags.contour: jnp.asarray(
+            rng.uniform(32, 224, size=(batch_size, 21, 2)), jnp.float32),
+    }
+    key = jax.random.key(1)
+    state, logs = step(state, batch, key)  # compile + warm
+    _sync((logs["loss"],))
+    best = 0.0
+    iters = 16
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, logs = step(state, batch, jax.random.fold_in(key, i))
+        _sync((logs["loss"],))
+        best = max(best, batch_size * iters / (time.perf_counter() - t0))
+    return best
+
+
+def _bench_aggregate_serving() -> dict:
+    """Multi-chip DP serving (parallel/serving.py): the flagship forward jitted
+    with the batch sharded over a mesh of ALL visible chips and params
+    replicated. On n chips this is the n-scaled aggregate serving throughput
+    PERF_NOTES.md names as the route past the single-chip ceiling; under the
+    driver (1 real chip) it degenerates to mesh(1) and validates that the
+    sharded serving program itself compiles and runs on TPU."""
+    from contouring_uncertainty_tpu.models import UNet
+    from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
+    from contouring_uncertainty_tpu.parallel import make_mesh, sharded_forward
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
+                 dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+
+    def fwd(v, x):
+        return logits_to_pixel_gaussians(model.apply(v, x)["out"])
+
+    jitted, repl_vars = sharded_forward(fwd, variables, mesh)
+    batch = 256 * n
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 1, 256, 256)),
+                      jnp.float32)
+    _sync(jitted(repl_vars, img))  # compile + warm
+    best = 0.0
+    iters = 32
+    for _ in range(3):
+        outs = [jitted(repl_vars, img) for _ in range(4)]
+        _sync(outs[-1])
+        t0 = time.perf_counter()
+        outs = [jitted(repl_vars, img) for _ in range(iters)]
+        _sync(outs[-1])
+        best = max(best, batch * iters / (time.perf_counter() - t0))
+    return {"aggregate_frames_per_sec": round(best, 1), "n_devices": n}
 
 
 def _parity_checks() -> dict:

@@ -12,3 +12,7 @@ from contouring_uncertainty_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from contouring_uncertainty_tpu.parallel.serving import (
+    constrain_sample_axis,
+    sharded_forward,
+)

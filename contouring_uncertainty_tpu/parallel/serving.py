@@ -1,0 +1,68 @@
+"""Multi-chip data-parallel SERVING (inference + uncertainty propagation).
+
+The reference serves on one GPU (SURVEY §2.5: Lightning `devices: 1`; its
+predict pipeline is host-side Python). The TPU-native serving story is
+data parallelism over the mesh's ICI axis, in two shapes:
+
+1. **Flagship frame stream** (`sharded_forward`): the UNet+DSNT inference
+   step jitted with the image batch sharded over the data axis and the
+   params replicated — on n chips the same code serves ~n x the single-chip
+   frames/s (docs/PERF_NOTES.md names multi-chip serving as the only route
+   past the single-chip ~4k frames/s ceiling). bench.py's aggregate mode
+   runs this over every visible chip.
+
+2. **Uncertainty propagation** (`constrain_sample_axis`, used by
+   predict.AleatoricPredictor/SegPredictor when constructed with a mesh):
+   a view's Monte-Carlo population (N, T_e, T_a, ...) is embarrassingly
+   parallel over the T_a sample axis, which carries the dominant cost (PSM
+   sampling chains + N*T_e*T_a rasterizations). A sharding constraint on
+   that axis lets GSPMD partition the whole per-sample chain — sampler,
+   rasterizer, entropy reductions — across chips, with XLA inserting the
+   (tiny: scalars + one (H, W) map) collectives at the reduction points.
+
+GSPMD handles a T_a that doesn't divide the mesh (e.g. the reference's
+t_a=25 on 8 chips) by implicit padding, so the TMI evaluation budget needs
+no rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from contouring_uncertainty_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    replicate,
+    replicate_sharding,
+)
+
+
+def constrain_sample_axis(x: jax.Array, mesh: Optional[Mesh], axis: int):
+    """Inside-jit sharding constraint placing array axis `axis` on the mesh's
+    data axis (no-op when mesh is None — the single-device path compiles the
+    identical program with no partitioner involvement)."""
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def sharded_forward(forward_fn, variables, mesh: Mesh):
+    """Jit `forward_fn(variables, img)` data-parallel over the mesh.
+
+    Returns (jitted_fn, replicated_variables). The image batch is sharded on
+    its leading axis across the data axis; params are replicated once up
+    front (not re-transferred per call). The caller feeds plain host arrays —
+    the input sharding moves each shard to its chip directly.
+    """
+    variables = replicate(variables, mesh)
+    img_sharding = batch_sharding(mesh)
+    jitted = jax.jit(
+        forward_fn,
+        in_shardings=(replicate_sharding(mesh), img_sharding),
+    )
+    return jitted, variables

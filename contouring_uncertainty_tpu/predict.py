@@ -148,6 +148,44 @@ def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred, groups=Non
     return point_u, instant_u
 
 
+class _ViewPredictor:
+    """Shared jit/vmap plumbing for the per-view predictors.
+
+    Subclasses define `_view_fn(variables, img, key)` over one view
+    (img (N, C, H, W)). `__call__` serves one view; `batched` serves a
+    stacked (V, N, C, H, W) view group, vmapped over V and — when the
+    predictor was built with a mesh — sharded over the mesh's data axis
+    (one view per chip: embarrassingly parallel, no collectives)."""
+
+    mesh = None
+    _jitted: Dict
+    _jitted_batched: Dict
+
+    def __call__(self, variables, img: jnp.ndarray, key) -> Dict:
+        n = img.shape[0]
+        if n not in self._jitted:
+            self._jitted[n] = jax.jit(self._view_fn)
+        return self._jitted[n](variables, img, key)
+
+    def batched(self, variables, imgs: jnp.ndarray, keys) -> Dict:
+        """imgs (V, N, C, H, W), keys (V,) -> view-stacked output dict."""
+        shape = imgs.shape[:2]
+        if shape not in self._jitted_batched:
+            fn = jax.vmap(self._view_fn, in_axes=(None, 0, 0))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from contouring_uncertainty_tpu.parallel.mesh import DATA_AXIS
+
+                view_shard = NamedSharding(self.mesh, P(DATA_AXIS))
+                repl = NamedSharding(self.mesh, P())
+                fn = jax.jit(fn, in_shardings=(repl, view_shard, view_shard))
+            else:
+                fn = jax.jit(fn)
+            self._jitted_batched[shape] = fn
+        return self._jitted_batched[shape](variables, imgs, keys)
+
+
 def _gaussian_blur(masks: jnp.ndarray, sigma: float = 5.0, truncate: float = 1.0):
     """Separable Gaussian blur over trailing (H, W); the reference's soft-mask
     option (contour_uncertainty.py:44-50: skimage.filters.gaussian + min-max)."""
@@ -165,26 +203,34 @@ def _gaussian_blur(masks: jnp.ndarray, sigma: float = 5.0, truncate: float = 1.0
     return ((blurred - lo) / jnp.maximum(hi - lo, 1e-8)).reshape(masks.shape)
 
 
-class AleatoricPredictor:
+class AleatoricPredictor(_ViewPredictor):
     """Jitted per-view uncertainty propagation for contour tasks.
 
     `contour_groups` describes multi-structure landmark vectors as
     (start, end, label) slices (e.g. JSRT right-lung/left-lung/heart,
     data/lung.py STRUCTURES); each structure is splined/rasterized/projected
     independently (the reference used per-dataset contour_to_mask fns).
+
+    `mesh` enables multi-chip data-parallel serving: `batched()` vmaps the
+    whole view pipeline over a leading view axis sharded across the mesh's
+    data axis, so each chip propagates its own views end-to-end with zero
+    inter-chip communication (parallel/serving.py; the reference serves on
+    one GPU — SURVEY §2.5).
     """
 
     def __init__(self, task, model, sampler: PosteriorShapeModelSampler,
                  t_a: Optional[int] = None, soft_mask: bool = False,
-                 contour_groups=None):
+                 contour_groups=None, mesh=None):
         self.task = task
         self.model = model
         self.sampler = sampler
         self.t_a = t_a or task.t_a
         self.soft_mask = soft_mask
+        self.mesh = mesh
         k = task.data_params.out_shape[0]
         self.groups = tuple(contour_groups) if contour_groups else ((0, k, 1),)
         self._jitted = {}
+        self._jitted_batched = {}
 
     def _rasterize_labelmap(self, points, h, w):
         """(..., K, 2) multi-structure landmarks -> (..., H, W) label map."""
@@ -271,14 +317,8 @@ class AleatoricPredictor:
             "point_uncertainty": point_u, "instant_uncertainty": instant_u,
         }
 
-    def __call__(self, variables, img: jnp.ndarray, key) -> Dict:
-        n = img.shape[0]
-        if n not in self._jitted:
-            self._jitted[n] = jax.jit(self._view_fn)
-        return self._jitted[n](variables, img, key)
 
-
-class SegPredictor:
+class SegPredictor(_ViewPredictor):
     """Jitted per-view prediction for segmentation-uncertainty baselines.
 
     Capability parity with SegmentationUncertaintyTask.predict_step
@@ -289,10 +329,12 @@ class SegPredictor:
 
     BORDER_PAD = 10
 
-    def __init__(self, task, model):
+    def __init__(self, task, model, mesh=None):
         self.task = task
         self.model = model
+        self.mesh = mesh
         self._jitted = {}
+        self._jitted_batched = {}
 
     def _view_fn(self, variables, img, key):
         from contouring_uncertainty_tpu.ops.morphology import postprocess_batch
@@ -340,22 +382,51 @@ class SegPredictor:
             "instant_uncertainty": instant_u,
         }
 
-    def __call__(self, variables, img, key):
-        n = img.shape[0]
-        if n not in self._jitted:
-            self._jitted[n] = jax.jit(self._view_fn)
-        return self._jitted[n](variables, img, key)
+
+def _run_predictor(predictor, variables, views, key) -> List[Dict]:
+    """Run a predictor over a view list, via the mesh-sharded batched path
+    when the predictor carries a multi-device mesh.
+
+    Views are grouped by image shape into chunks of V = data-axis size
+    (ragged tails padded by repeating the last view; padding outputs are
+    dropped). Every view keeps its position-derived fold_in(key, vi) key, so
+    the outputs are identical to the sequential path regardless of grouping.
+    """
+    if predictor.mesh is None or predictor.mesh.devices.size == 1:
+        return [
+            jax.tree.map(np.asarray, predictor(
+                variables, jnp.asarray(v[Tags.img]), jax.random.fold_in(key, vi)
+            ))
+            for vi, v in enumerate(views)
+        ]
+    from contouring_uncertainty_tpu.parallel.mesh import DATA_AXIS
+
+    v_per_step = predictor.mesh.shape[DATA_AXIS]
+    groups: Dict[tuple, List[int]] = {}
+    for vi, v in enumerate(views):
+        groups.setdefault(tuple(np.asarray(v[Tags.img]).shape), []).append(vi)
+    outs: List[Optional[Dict]] = [None] * len(views)
+    for idxs in groups.values():
+        for start in range(0, len(idxs), v_per_step):
+            chunk = idxs[start:start + v_per_step]
+            padded = chunk + [chunk[-1]] * (v_per_step - len(chunk))
+            imgs = jnp.stack([jnp.asarray(views[i][Tags.img]) for i in padded])
+            keys = jnp.stack([jax.random.fold_in(key, i) for i in padded])
+            out = jax.tree.map(np.asarray, predictor.batched(variables, imgs, keys))
+            for j, i in enumerate(chunk):
+                outs[i] = jax.tree.map(lambda a, j=j: a[j], out)
+    return outs
 
 
-def run_predict_segmentation(task, variables, data, cfg,
-                             split: str = "test") -> List[BatchResult]:
+def run_predict_segmentation(task, variables, data, cfg, split: str = "test",
+                             mesh=None) -> List[BatchResult]:
     model = task.build_model()
-    predictor = SegPredictor(task, model)
+    predictor = SegPredictor(task, model, mesh=mesh)
     key = jax.random.key(cfg.get("seed", 10))
+    views = list(data.predict_views(split))
+    outs = _run_predictor(predictor, variables, views, key)
     results = []
-    for vi, view in enumerate(data.predict_views(split)):
-        img = jnp.asarray(view[Tags.img])
-        out = jax.tree.map(np.asarray, predictor(variables, img, jax.random.fold_in(key, vi)))
+    for view, out in zip(views, outs):
         results.append(BatchResult(
             id=view[Tags.id],
             labels=task.data_params.labels,
@@ -374,13 +445,19 @@ def run_predict_segmentation(task, variables, data, cfg,
 
 
 def run_predict(task, variables, data, cfg, split: str = "test",
-                metrics_out: Optional[Dict] = None) -> List[BatchResult]:
+                metrics_out: Optional[Dict] = None, mesh=None) -> List[BatchResult]:
     """Predict every view of the split and assemble BatchResults
-    (then results processors — results/__init__.py — consume them)."""
+    (then results processors — results/__init__.py — consume them).
+
+    `mesh` turns on data-parallel serving: views are stacked and sharded one
+    per chip over the mesh's data axis (parallel/serving.py), with identical
+    outputs to the sequential path (asserted by
+    tests/test_parallel.py mesh(1)-vs-mesh(8) inference equivalence)."""
     from contouring_uncertainty_tpu.tasks.segmentation import SegmentationUncertaintyTask
 
     if isinstance(task, SegmentationUncertaintyTask):
-        results = run_predict_segmentation(task, variables, data, cfg, split)
+        results = run_predict_segmentation(task, variables, data, cfg, split,
+                                           mesh=mesh)
         _maybe_run_processors(results, cfg, metrics_out)
         return results
     model = task.build_model()
@@ -415,21 +492,23 @@ def run_predict(task, variables, data, cfg, split: str = "test",
         sampler = PosteriorShapeModelSampler(prior)
     predictor = AleatoricPredictor(
         task, model, sampler, soft_mask=bool(task_cfg.get("soft_mask", False)),
-        contour_groups=getattr(data, "contour_groups", None),
+        contour_groups=getattr(data, "contour_groups", None), mesh=mesh,
     )
     key = jax.random.key(cfg.get("seed", 10))
 
+    views = list(data.predict_views(split))
+    if sequence:
+        for view in views:
+            if np.asarray(view[Tags.img]).shape[0] != 2:
+                raise ValueError(
+                    f"sequence_sampler=True expects exactly 2 instants (ED, ES) "
+                    f"per view; view '{view[Tags.id]}' has "
+                    f"{np.asarray(view[Tags.img]).shape[0]} frames. Disable "
+                    f"task.sequence_sampler or restrict views to ED/ES."
+                )
+    outs = _run_predictor(predictor, variables, views, key)
     results = []
-    for vi, view in enumerate(data.predict_views(split)):
-        img = jnp.asarray(view[Tags.img])
-        if sequence and img.shape[0] != 2:
-            raise ValueError(
-                f"sequence_sampler=True expects exactly 2 instants (ED, ES) "
-                f"per view; view '{view[Tags.id]}' has {img.shape[0]} frames. "
-                f"Disable task.sequence_sampler or restrict views to ED/ES."
-            )
-        out = predictor(variables, img, jax.random.fold_in(key, vi))
-        out = jax.tree.map(np.asarray, out)
+    for view, out in zip(views, outs):
         res = BatchResult(
             id=view[Tags.id],
             labels=task.data_params.labels,

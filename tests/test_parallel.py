@@ -45,3 +45,73 @@ def test_shard_host_batch_falls_back_to_device_put():
 def test_make_mesh_raises_on_too_few_devices():
     with pytest.raises(ValueError):
         make_mesh(1024)
+
+
+# --------------------------------------------------------------- DP serving
+def _make_predict_setup(tmp_path):
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import run_predict
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTAleatoric(
+        data_params=data.data_params, t_a=3, t_e=2,
+        model_kwargs=dict(kernels=((3, 3),) * 4,
+                          strides=((1, 1),) + ((2, 2),) * 3,
+                          drop_block=True),
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")}}
+    return run_predict, task, variables, data, cfg
+
+
+def test_mesh_inference_equivalence(tmp_path):
+    """DP serving correctness: run_predict on mesh(8) (one view per chip via
+    the vmapped+sharded batched path, incl. ragged-tail padding) must produce
+    the same BatchResults as the sequential single-device path — same
+    per-view fold_in keys, so equality is exact up to f32 scheduling noise."""
+    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
+
+    seq = run_predict(task, variables, data, cfg)
+    par = run_predict(task, variables, data, cfg, mesh=make_mesh(8))
+
+    assert len(seq) == len(par) > 0
+    for a, b in zip(seq, par):
+        assert a.id == b.id
+        np.testing.assert_allclose(a.mu, b.mu, atol=1e-4)
+        np.testing.assert_allclose(a.cov, b.cov, atol=1e-4)
+        np.testing.assert_array_equal(a.pred, b.pred)
+        np.testing.assert_allclose(a.contour_samples, b.contour_samples, atol=1e-3)
+        np.testing.assert_allclose(a.entropy_map, b.entropy_map, atol=1e-4)
+        for k in a.instant_uncertainty:
+            np.testing.assert_allclose(a.instant_uncertainty[k],
+                                       b.instant_uncertainty[k], atol=1e-4)
+
+
+def test_sharded_forward_equivalence():
+    """Flagship inference step sharded over mesh(8) == single-device forward
+    (params replicated, batch split over the data axis)."""
+    from contouring_uncertainty_tpu.models import UNet
+    from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
+    from contouring_uncertainty_tpu.parallel import sharded_forward
+
+    model = UNet(input_shape=(1, 32, 32), output_shape=(5, 32, 32),
+                 kernels=((3, 3),) * 3, strides=((1, 1),) + ((2, 2),) * 2)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(16, 1, 32, 32)),
+                      jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), img[:2])
+
+    def fwd(v, x):
+        return logits_to_pixel_gaussians(model.apply(v, x)["out"])
+
+    mu0, sig0 = jax.jit(fwd)(variables, img)
+
+    mesh = make_mesh(8)
+    jitted, repl_vars = sharded_forward(fwd, variables, mesh)
+    mu8, sig8 = jitted(repl_vars, img)
+    assert mu8.sharding.spec[0] == DATA_AXIS  # actually partitioned output
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sig8), np.asarray(sig0), atol=1e-3)

@@ -56,6 +56,78 @@ def test_skew_psm_mixed_indices():
     assert samples.shape == (20, 21, 2) and np.isfinite(samples).all()
 
 
+def test_windowed_vs_full_grid_equivalence():
+    """The round-2 windowed grid-product draw must be distributionally
+    indistinguishable from the reference-exact full-grid draw
+    (sampler/posterior_shape_model/psm_skew.py:44-159 samples the full grid)
+    on the same prior, and the window's truncated probability mass must be
+    provably negligible — not just asserted so."""
+    from contouring_uncertainty_tpu.distributions import bsn, bvn
+    from contouring_uncertainty_tpu.sampler import prior as prior_lib
+    from contouring_uncertainty_tpu.sampler.psm import merge_priors
+
+    contours = _train_contours()
+    prior = fit_shape_prior(contours)
+    mu = jnp.asarray(contours[5], jnp.float32)
+    cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
+    alpha = jnp.ones((21, 2)) * jnp.asarray([3.0, 1.0])
+
+    full = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=128)
+    win = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=None)
+    assert win._window < 128, "auto window must actually truncate the grid"
+
+    n = 512
+    s_full = np.asarray(full(jax.random.key(0), mu, cov, alpha, n=n))
+    s_win = np.asarray(win(jax.random.key(1), mu, cov, alpha, n=n))
+
+    # Per-coordinate population mean/std/skewness within statistical
+    # tolerance of each other (two independent n-sample populations).
+    se = np.sqrt(s_full.var(0) / n + s_win.var(0) / n)
+    mean_z = np.abs(s_full.mean(0) - s_win.mean(0)) / np.maximum(se, 1e-6)
+    assert mean_z.max() < 6.0, f"max mean z-score {mean_z.max():.2f}"
+    std_rel = np.abs(s_full.std(0) - s_win.std(0)) / np.maximum(s_full.std(0), 0.5)
+    assert std_rel.max() < 0.35, f"max std rel diff {std_rel.max():.2f}"
+
+    def skewness(s):
+        d = s - s.mean(0)
+        return (d**3).mean(0) / np.maximum(s.std(0) ** 3, 1e-6)
+
+    sk_diff = np.abs(skewness(s_full) - skewness(s_win))
+    # Skewness SE ~ sqrt(6/n) ~ 0.108; diff of two populations ~ 0.153.
+    assert np.mean(sk_diff) < 0.2, f"mean skewness diff {np.mean(sk_diff):.2f}"
+    assert sk_diff.max() < 0.8, f"max skewness diff {sk_diff.max():.2f}"
+
+    # Explicit truncation bound: evaluate the fused grid-product density on
+    # the FULL grid (level-0 posterior at a representative contour state) and
+    # sum the probability mass falling outside each point's window.
+    alpha_f = alpha * jnp.asarray([1.0, -1.0])
+    mu_t = prior_lib.transform(prior, mu).reshape(-1)
+    _, q = prior_lib.refit_q(prior, mu_t)
+    mu_c, cov_c = win._posterior_points(
+        mu, win._level_masks[0], mu_t, q, win.sigmas[0]
+    )
+    mu_f, _ = merge_priors(mu, cov, mu_c, cov_c)
+    offs = np.asarray(win._window_offsets(mu_f))
+    step = win._step
+    ax = jnp.arange(128, dtype=jnp.float32) * step
+    gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
+    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    hi = (win._window - 1) * step
+    worst = 0.0
+    for k in range(21):
+        lp = bsn.logpdf(grid, mu[k], cov[k], alpha_f[k]) + bvn.logpdf(
+            grid, mu_c[k], cov_c[k]
+        )
+        p = np.asarray(jax.nn.softmax(lp))
+        g = np.asarray(grid)
+        inside = (
+            (g[:, 0] >= offs[k, 0] - 1e-5) & (g[:, 0] <= offs[k, 0] + hi + 1e-5)
+            & (g[:, 1] >= offs[k, 1] - 1e-5) & (g[:, 1] <= offs[k, 1] + hi + 1e-5)
+        )
+        worst = max(worst, float(p[~inside].sum()))
+    assert worst < 1e-7, f"truncated mass {worst:.2e}"
+
+
 def test_sequence_sampler_couples_instants():
     ed, es = _pairs()
     prior = fit_shape_prior(np.concatenate([ed, es]))
