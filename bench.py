@@ -193,6 +193,7 @@ def _parity_checks() -> dict:
     from contouring_uncertainty_tpu.ops.dsnt import raw6_to_pixel_gaussians
     from contouring_uncertainty_tpu.ops.pallas_dsnt import (
         _raw_moments_pallas,
+        _raw_moments_pallas_cols,
         _raw_moments_xla,
     )
     from contouring_uncertainty_tpu.ops.rasterize import approx_parity_check
@@ -224,6 +225,17 @@ def _parity_checks() -> dict:
         scale = (sig_x[..., 0, 0] + sig_x[..., 1, 1])[..., None, None] / 2.0
         out["dsnt_pallas_max_sigma_rel_err"] = float(
             jnp.max(jnp.abs(sig_k - sig_x) / scale)
+        )
+        # Column-layout kernel — the one the flagship serving path actually
+        # routes through since round 3 (ops/dsnt.py:158-176).
+        raw_c = jax.jit(lambda x: _raw_moments_pallas_cols(x, 256, 256))(
+            logits.T)
+        mu_c, sig_c = raw6_to_pixel_gaussians(raw_c[:, :6], 256, 256)
+        out["dsnt_pallas_cols_max_mu_err_px"] = float(
+            jnp.max(jnp.abs(mu_c - mu_x))
+        )
+        out["dsnt_pallas_cols_max_sigma_rel_err"] = float(
+            jnp.max(jnp.abs(sig_c - sig_x) / scale)
         )
     out["rasterize_approx_mismatch_px"] = approx_parity_check(n_contours=64)
     return out

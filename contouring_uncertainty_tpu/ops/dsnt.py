@@ -160,10 +160,19 @@ def logits_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
         and logits.dtype == jnp.bfloat16
         and hw % 128 == 0
     ):
-        from contouring_uncertainty_tpu.ops.pallas_dsnt import dsnt_raw_moments
+        from contouring_uncertainty_tpu.ops.pallas_dsnt import dsnt_raw_moments_cols
 
-        raw = dsnt_raw_moments(logits.reshape(-1, hw), height, width)
-        raw = raw[:, :6].reshape(*lead, 6)  # [1, x, y, x2, y2, xy]
+        # Feed the COLUMN-layout kernel with physical order [h][w][*lead
+        # reversed]: that is exactly the batch-in-lanes layout the head's 1x1
+        # output conv prefers to emit, so this transpose+reshape lowers to a
+        # bitcast instead of the two full relayout passes the (B*K, HW) row
+        # form forced (28.9 us/frame of `copy` at batch 512, trace r3).
+        nd = logits.ndim
+        perm = (nd - 2, nd - 1) + tuple(reversed(range(nd - 2)))
+        flat_t = jnp.transpose(logits, perm).reshape(hw, -1)
+        raw = dsnt_raw_moments_cols(flat_t, height, width)  # (prod(lead), 8)
+        raw = raw[:, :6].reshape(*reversed(lead), 6)
+        raw = jnp.transpose(raw, tuple(reversed(range(len(lead)))) + (len(lead),))
     else:
         basis = _moment_basis(height, width, 2, jnp.float32)
         ones = jnp.ones((hw, 1), jnp.float32)

@@ -139,6 +139,137 @@ def _raw_moments_pallas(
     return out[:rows]
 
 
+def _dsnt_kernel_cols(x_ref, b_ref, out_ref, m_scr, t_scr):
+    """Column-layout online softmax-moment accumulation over sublane chunks.
+
+    x_ref: (HW_BLOCK, N_BLOCK) logits chunk — heatmaps are COLUMNS (one per
+    (landmark, frame) pair), pixels run down the sublanes. b_ref:
+    (HW_BLOCK, 8) f32 basis chunk. m_scr: (1, N_BLOCK) running max; t_scr:
+    (8, N_BLOCK) running unnormalized moment sums (row 0 is the normalizer).
+
+    Why a second kernel with transposed orientation: the flagship head's
+    1x1 output conv (21 channels) naturally emits a batch-in-lanes layout —
+    physically [h][w][k][b] — and the row kernel's (B*K, HW) operand forces
+    XLA to relayout the whole 704 MB heatmap tensor twice (measured 28.9
+    us/frame of `copy` at batch 512, trace r3). This kernel consumes
+    (HW, K*B), whose default layout IS [h][w][k][b], so the transpose+reshape
+    feeding it are pure bitcasts and the copies vanish. All reductions are
+    single-axis over sublanes; the moment contraction is one MXU dot_general
+    over the sublane axis at full f32 precision (same sigma-cancellation
+    argument as _dsnt_kernel).
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    x = x_ref[:].astype(jnp.float32)
+    bm = jnp.max(x, axis=0, keepdims=True)  # (1, N_BLOCK)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = bm
+        t_scr[:] = jnp.zeros_like(t_scr)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, bm)
+    alpha = jnp.exp(m_old - m_new)
+    e = jnp.exp2((x - m_new) * 1.4426950408889634)  # f32 (HW_BLOCK, N_BLOCK)
+
+    b = b_ref[:]  # (HW_BLOCK, 8) f32 basis
+    # part[m, n] = sum_r b[r, m] * e[r, n]: contract the sublane axis on the
+    # MXU; f32 throughout (see _dsnt_kernel's precision note).
+    part = jax.lax.dot_general(
+        b, e, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (8, N_BLOCK)
+
+    t_scr[:] = t_scr[:] * alpha + part
+    m_scr[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        t = t_scr[:]
+        out_ref[:] = t / t[0:1, :]
+
+
+_HW_BLOCK = 2048  # sublane rows per grid step (bf16 block 2 MB at N_BLOCK=512)
+_N_BLOCK = 512  # heatmap columns per grid step (flagship 512*21 = 21 blocks)
+
+
+def _raw_moments_pallas_cols(
+    flat_t: jnp.ndarray, height: int, width: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(HW, N) logits columns -> (N, 8) normalized raw moments, one HBM pass."""
+    hw, n = flat_t.shape
+    n_block = min(_N_BLOCK, n) if interpret else _N_BLOCK
+    n_p = -(-n // n_block) * n_block
+    if n_p != n:
+        # Zero-pad columns: softmax of a zero column is uniform — harmless,
+        # sliced off below. (Flagship N = 512*21 divides exactly; pads only
+        # cost on odd shapes.)
+        flat_t = jnp.pad(flat_t, ((0, 0), (0, n_p - n)))
+    hw_block = min(_HW_BLOCK, hw)
+    while hw % hw_block:
+        hw_block //= 2
+    assert hw % hw_block == 0, (hw, hw_block)
+    basis = _basis_matrix(height, width)
+    grid = (n_p // n_block, hw // hw_block)
+    out = pl.pallas_call(
+        _dsnt_kernel_cols,
+        out_shape=jax.ShapeDtypeStruct((_N_MOM, n_p), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((hw_block, n_block), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw_block, _N_MOM), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_N_MOM, n_block), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_block), jnp.float32),
+            pltpu.VMEM((_N_MOM, n_block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(flat_t, basis)
+    return out[:, :n].T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def dsnt_raw_moments_cols(flat_t: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Differentiable fused raw moments, column layout.
+
+    flat_t (H*W, N) — one heatmap per COLUMN — -> (N, 8). Use this from
+    NCHW model heads via jnp.transpose(logits, (2, 3, 1, 0)): that physical
+    order matches the conv's preferred batch-in-lanes layout so the feed is
+    a bitcast (see _dsnt_kernel_cols). Same engage conditions as
+    dsnt_raw_moments.
+    """
+    if (
+        jax.default_backend() != "cpu"
+        and flat_t.dtype == jnp.bfloat16
+        and flat_t.shape[0] % 128 == 0
+    ):
+        return _raw_moments_pallas_cols(flat_t, height, width)
+    return _raw_moments_xla(flat_t.T, height, width)
+
+
+def _fwd_cols(flat_t, height, width):
+    return dsnt_raw_moments_cols(flat_t, height, width), flat_t
+
+
+def _bwd_cols(height, width, flat_t, g):
+    # Same softmax-moment adjoint as _bwd, transposed: columns are pmfs.
+    p = jax.nn.softmax(flat_t.astype(jnp.float32), axis=0)  # (HW, N)
+    bg = jnp.dot(_basis_matrix(height, width), g.T,
+                 precision=jax.lax.Precision.HIGHEST)  # (HW, N)
+    inner = jnp.sum(p * bg, axis=0, keepdims=True)
+    return ((p * (bg - inner)).astype(flat_t.dtype),)
+
+
+dsnt_raw_moments_cols.defvjp(_fwd_cols, _bwd_cols)
+
+
 def _raw_moments_xla(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Reference XLA path (identical math): backward recompute + CPU fallback."""
     p = jax.nn.softmax(flat_logits.astype(jnp.float32), axis=-1)

@@ -214,3 +214,63 @@ def test_pallas_kernel_interpret_parity_sharp_heatmaps():
     exb16, eyb16, vxb16, vyb16 = derive(b16)
     np.testing.assert_allclose(vxa16, vxb16, rtol=5e-3)
     np.testing.assert_allclose(vya16, vyb16, rtol=5e-3)
+
+
+def test_pallas_cols_kernel_interpret_parity():
+    """Column-layout kernel (the flagship serving route since round 3 — it
+    consumes the head conv's natural batch-in-lanes layout so the feed is a
+    bitcast, ops/pallas_dsnt.py _dsnt_kernel_cols) vs the XLA reference at
+    the flagship 256^2 resolution, including the bf16-input and odd-column-
+    count (padding) paths, plus its custom VJP against the XLA adjoint."""
+    from contouring_uncertainty_tpu.ops.pallas_dsnt import (
+        _raw_moments_pallas_cols,
+        _raw_moments_xla,
+        dsnt_raw_moments_cols,
+    )
+
+    rng = np.random.default_rng(13)
+    H = W = 256
+    yy, xx = np.mgrid[0:H, 0:W]
+    maps = []
+    for _ in range(7):  # odd count: exercises the N_BLOCK zero-pad path
+        cx, cy = rng.uniform(16, W - 16), rng.uniform(16, H - 16)
+        sig = rng.uniform(1.5, 8.0)
+        maps.append(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+    x = jnp.asarray(np.stack(maps).reshape(-1, H * W).astype(np.float32))
+
+    a = np.asarray(_raw_moments_pallas_cols(x.T, H, W, interpret=True))
+    b = np.asarray(_raw_moments_xla(x, H, W))
+
+    def derive(r):
+        ex, ey = r[:, 1], r[:, 2]
+        return ex, ey, r[:, 3] - ex * ex, r[:, 4] - ey * ey
+
+    exa, eya, vxa, vya = derive(a)
+    exb, eyb, vxb, vyb = derive(b)
+    assert np.abs(exa - exb).max() * W / 2 < 5e-3
+    assert np.abs(eya - eyb).max() * W / 2 < 5e-3
+    np.testing.assert_allclose(vxa, vxb, rtol=5e-3)
+    np.testing.assert_allclose(vya, vyb, rtol=5e-3)
+
+    a16 = np.asarray(
+        _raw_moments_pallas_cols(x.T.astype(jnp.bfloat16), H, W, interpret=True))
+    b16 = np.asarray(_raw_moments_xla(x.astype(jnp.bfloat16), H, W))
+    np.testing.assert_allclose(a16[:, 1:3], b16[:, 1:3], atol=2e-4)
+    _, _, vxa16, vya16 = derive(a16)
+    _, _, vxb16, vyb16 = derive(b16)
+    np.testing.assert_allclose(vxa16, vxb16, rtol=5e-3)
+    np.testing.assert_allclose(vya16, vyb16, rtol=5e-3)
+
+    # custom VJP (CPU takes the XLA fallback inside dsnt_raw_moments_cols;
+    # the adjoint itself is shared with the compiled path)
+    xt = jnp.asarray(x.T[:, :4])
+
+    def f_cols(z):
+        return jnp.sum(jnp.sin(dsnt_raw_moments_cols(z, H, W)))
+
+    def f_ref(z):
+        return jnp.sum(jnp.sin(_raw_moments_xla(z.T, H, W)))
+
+    g1 = np.asarray(jax.grad(f_cols)(xt))
+    g2 = np.asarray(jax.grad(f_ref)(xt))
+    np.testing.assert_allclose(g1, g2, atol=1e-6)
