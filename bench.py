@@ -87,24 +87,27 @@ def main():
     except Exception as exc:
         line["aggregate_error"] = f"{type(exc).__name__}: {exc}"
     try:
-        line["train_frames_per_sec"] = round(_bench_train_step(), 1)
+        line["train_frames_per_sec"] = round(_bench_train_step(64), 1)
+        line["train_frames_per_sec_b128"] = round(_bench_train_step(128), 1)
     except Exception as exc:
         line["train_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(line))
 
 
-def _bench_train_step() -> float:
+def _bench_train_step(batch_size: int = 64) -> float:
     """Flagship dsnt-al TRAINING throughput (bf16 model, adamw, donated
-    state, batch 64) so the driver tracks training perf alongside serving
-    (VERDICT r2 weak #2: training was absent from BENCH_r*.json). Mirrors
-    Trainer._build_steps exactly (train/trainer.py:91-102)."""
+    state) so the driver tracks training perf alongside serving (VERDICT r2
+    weak #2: training was absent from BENCH_r*.json). Mirrors
+    Trainer._build_steps exactly (train/trainer.py:91-102). Batch 64 is the
+    reference-parity config; batch 128 is the throughput-optimal point on
+    this chip (round-3 sweep: 64 -> 581 f/s, 128 -> 923, 256 -> 899,
+    512 fails to compile for HBM)."""
     import optax
     from flax.training.train_state import TrainState
 
     from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
-    batch_size = 64
     task = DSNTAleatoric(
         data_params=DataParams(in_shape=(1, 256, 256), out_shape=(21, 2),
                                labels=(Label.BG, Label.LV)),

@@ -174,14 +174,30 @@ def logits_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
         raw = raw[:, :6].reshape(*reversed(lead), 6)
         raw = jnp.transpose(raw, tuple(reversed(range(len(lead)))) + (len(lead),))
     else:
+        # Same column orientation as the kernel path, for the same reason:
+        # the head conv emits batch-in-lanes, and a (B*K, HW) reshape forces
+        # two full relayout passes of the f32 heatmap (copy.217/copy.259 in
+        # the training-step HLO, ~34 us/frame at batch 64 — plus mirrored
+        # copies in the backward). Columns keep the layout bitcast-clean in
+        # both directions of autodiff.
+        # The lead axes stay SEPARATE (no (HW, K*B) merge): merging would put
+        # a sharded batch axis as the minor factor of a reshaped dim, which
+        # GSPMD cannot propagate through — the multi-chip DP serving path
+        # would silently replicate. tensordot over the pixel axis keeps each
+        # lead axis shardable and the layout bitcast-clean.
         basis = _moment_basis(height, width, 2, jnp.float32)
         ones = jnp.ones((hw, 1), jnp.float32)
-        basis = jnp.concatenate([ones, basis], axis=1)  # [1, x, y, x2, y2, xy]
-        flat = logits.reshape(-1, hw).astype(jnp.float32)
-        m = jnp.max(flat, axis=1, keepdims=True)
-        e = jnp.exp(flat - m)
-        raw = jnp.dot(e, basis, precision=jax.lax.Precision.HIGHEST)
-        raw = (raw / raw[:, :1]).reshape(*lead, 6)
+        basis_t = jnp.concatenate([ones, basis], axis=1).T  # (6, HW)
+        nd = logits.ndim
+        perm = (nd - 2, nd - 1) + tuple(reversed(range(nd - 2)))
+        t = jnp.transpose(logits, perm).astype(jnp.float32)  # (H, W, *rev_lead)
+        t = t.reshape(hw, *t.shape[2:])
+        m = jnp.max(t, axis=0, keepdims=True)
+        e = jnp.exp(t - m)
+        raw = jnp.tensordot(basis_t, e, axes=(1, 0),
+                            precision=jax.lax.Precision.HIGHEST)
+        raw = raw / raw[:1]  # (6, *rev_lead)
+        raw = jnp.transpose(raw, tuple(range(raw.ndim - 1, 0, -1)) + (0,))
     return raw6_to_pixel_gaussians(raw, height, width, use_covar)
 
 

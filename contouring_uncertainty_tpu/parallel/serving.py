@@ -58,11 +58,37 @@ def sharded_forward(forward_fn, variables, mesh: Mesh):
     its leading axis across the data axis; params are replicated once up
     front (not re-transferred per call). The caller feeds plain host arrays —
     the input sharding moves each shard to its chip directly.
+
+    Uses shard_map (not GSPMD propagation): each chip runs the forward on its
+    LOCAL batch shard, so shard-local custom kernels (the Pallas DSNT cols
+    kernel, whose (HW, K*B) operand GSPMD cannot shard — the batch axis is
+    the minor merge factor) work unchanged, and no partitioner choice can
+    silently replicate the batch. Requires batch % n_devices == 0 (callers
+    pad ragged tails: predict.run_predict, bench aggregate mode).
     """
     variables = replicate(variables, mesh)
-    img_sharding = batch_sharding(mesh)
-    jitted = jax.jit(
+    data_spec = P(DATA_AXIS)
+    local_fn = jax.shard_map(
         forward_fn,
-        in_shardings=(replicate_sharding(mesh), img_sharding),
+        mesh=mesh,
+        in_specs=(P(), data_spec),
+        out_specs=data_spec,
+        # pallas_call can't express varying-mesh-axes metadata, so the vma
+        # checker rejects any shard_map body containing the DSNT kernel
+        # (TPU-only failure — CPU tests take the kernel's XLA fallback).
+        # The specs above are total, so the check adds nothing here.
+        check_vma=False,
     )
+    n = mesh.shape[DATA_AXIS]
+
+    def guarded(variables, img):
+        if img.shape[0] % n:
+            raise ValueError(
+                f"sharded_forward: batch {img.shape[0]} not divisible by the "
+                f"mesh's {n}-way data axis — pad the batch (see "
+                f"predict._run_predictor for the ragged-tail pattern)"
+            )
+        return local_fn(variables, img)
+
+    jitted = jax.jit(guarded)
     return jitted, variables

@@ -158,6 +158,18 @@ def parse_trace(trace_dir, batch):
           f"({(envelope-total_inner)/batch:.2f} us/frame) — device-side "
           f"gaps between ops (true scheduling slack)")
 
+    if os.environ.get("TRACE_DETAIL"):
+        # Per-instruction view: exact HLO instruction names, so big fusions
+        # can be cross-referenced against an --xla_dump_to HLO dump.
+        exact = collections.defaultdict(lambda: [0, 0.0])
+        for e in inner:
+            name = str(e.get("name", "?"))
+            exact[name][0] += 1
+            exact[name][1] += e.get("dur", 0.0)
+        print(f"\n# top instructions (exact names)")
+        for name, (cnt, dur) in sorted(exact.items(), key=lambda kv: -kv[1][1])[:40]:
+            print(f"{name:<44s} {cnt:>4d} {dur:>10.1f} {dur/batch:>9.2f}")
+
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
