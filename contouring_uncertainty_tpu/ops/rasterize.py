@@ -92,13 +92,38 @@ def polygon_fill(dense: jnp.ndarray, height: int, width: int,
     # (32.7M pixels, zero mismatches) AND continuously re-checked on-chip by
     # `approx_parity_check` via bench.py. CPU keeps the exact top_k so the
     # oracle test suite is bit-stable; CUTPU_EXACT_TOPK=1 forces exact.
+    # Integer bucket keys (ceil(x) — exact, counts compare integer columns)
+    # were measured and REJECTED: int32 top_k 35.3 vs f32 39.4 ms/500 masks,
+    # but the winning approx path slows 15.5 -> 17.0 ms because the
+    # ceil/clip/cast pass costs more than int compares save
+    # (tools/bench_topk.py, docs/PERF_NOTES.md r3).
     if exact_topk is None:
         exact_topk = _use_exact_topk()
     if exact_topk:
         neg_topk, _ = jax.lax.top_k(-x_int.T, MAX_CROSSINGS)  # (H, MC)
         xs = -neg_topk
     else:
-        xs, _ = jax.lax.approx_min_k(x_int.T, MAX_CROSSINGS, recall_target=0.99)
+        xt = x_int.T  # (H, E)
+        e = xt.shape[-1]
+        if e % 128 == 0 and e >= 256:
+            # Two-stage selection: per-128-wide-chunk min-k, then min-k over
+            # the chunked survivors. Exact under the same global
+            # <= MAX_CROSSINGS-crossings-per-row assumption (each chunk's
+            # crossings are a subset of the row's), and 1.6x faster than the
+            # flat selection — sort cost scales with the sorted width, and
+            # 9 sorts of width <= 128 beat one of 1024 (15.3 -> 9.6 ms per
+            # 500 masks, tools/bench_topk.py).
+            chunks = e // 128
+            s1, _ = jax.lax.approx_min_k(
+                xt.reshape(height * chunks, 128), MAX_CROSSINGS,
+                recall_target=0.99,
+            )
+            xs, _ = jax.lax.approx_min_k(
+                s1.reshape(height, chunks * MAX_CROSSINGS), MAX_CROSSINGS,
+                recall_target=0.99,
+            )
+        else:
+            xs, _ = jax.lax.approx_min_k(xt, MAX_CROSSINGS, recall_target=0.99)
 
     cols = jnp.arange(width, dtype=dense.dtype)
     counts = jnp.sum(cols[None, :, None] >= xs[:, None, :], axis=-1)  # (H, W)

@@ -55,17 +55,96 @@ def _not_a_knot_system(u: jnp.ndarray, y: jnp.ndarray):
     return mat, rhs
 
 
+def _banded_spline_solve(u: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Solve the not-a-knot second-derivative system by banded elimination.
+
+    The K x K system built by `_not_a_knot_system` is tridiagonal except for
+    one extra superdiagonal entry in row 0 and one extra subdiagonal entry in
+    row K-1 (the third-derivative-continuity end conditions). Dense
+    `jnp.linalg.solve` lowers to a pivoted-LU custom call that dominated the
+    uncertainty-propagation profile (LuDecompositionBlock, 7.4 ms of the
+    68 ms view step for the 1000 batched 21x21 solves — trace r3); this
+    unrolled K-step elimination is a few elementwise ops per step, vmaps
+    cleanly, and costs ~nothing. No pivoting: after folding the row-0
+    not-a-knot condition into row 1, the remaining system is the standard
+    strictly-diagonally-dominant spline tridiagonal (h/6, (h+h')/3, h'/6),
+    for which Gaussian elimination without pivoting is stable. y: (K,) or
+    (K, D) -> second derivatives, same shape.
+    """
+    k = u.shape[0]
+    h = jnp.diff(u)
+    d = (jnp.diff(y, axis=0).T / h).T  # slopes, (K-1, ...) per component
+
+    # Row i (1 <= i <= K-2): h[i-1]/6 M[i-1] + (h[i-1]+h[i])/3 M[i]
+    #                        + h[i]/6 M[i+1] = d[i] - d[i-1]
+    # Row 0:  M0/h0 - (1/h0 + 1/h1) M1 + M2/h1 = 0
+    # Row K-1: M[K-3]/h[K-3+?]... symmetric at the far end.
+    lower = h[:-1] / 6.0  # coeff of M[i-1] in row i, i = 1..K-2
+    diag = (h[:-1] + h[1:]) / 3.0
+    upper = h[1:] / 6.0
+    rhs = d[1:] - d[:-1]  # (K-2, ...)
+
+    # Eliminate M0 from row 1 using row 0:
+    #   M0 = (1 + h0/h1) M1 - (h0/h1) M2
+    r01 = h[0] / h[1]
+    diag1 = diag[0] + lower[0] * (1.0 + r01)
+    upper1 = upper[0] - lower[0] * r01
+    # Eliminate M[K-1] from row K-2 using row K-1:
+    #   M[K-1] = (1 + h[-1]/h[-2]) M[K-2] - (h[-1]/h[-2]) M[K-3]
+    rKK = h[-1] / h[-2]
+    diagL = diag[-1] + upper[-1] * (1.0 + rKK)
+    lowerL = lower[-1] - upper[-1] * rKK
+
+    n = k - 2  # interior unknowns M1..M[K-2]
+    dia = [None] * n
+    upp = [None] * n
+    low = [None] * n
+    for i in range(n):
+        dia[i] = diag[i]
+        upp[i] = upper[i] if i < n - 1 else None
+        low[i] = lower[i] if i > 0 else None
+    dia[0], dia[-1] = diag1, diagL
+    if n > 1:
+        upp[0] = upper1
+        low[-1] = lowerL
+
+    # Forward elimination (unrolled Thomas; K is small and static).
+    cp = [None] * n  # modified upper
+    dp = [None] * n  # modified rhs
+    cp[0] = (upp[0] / dia[0]) if n > 1 else None
+    dp[0] = (rhs[0].T / dia[0]).T
+    for i in range(1, n):
+        denom = dia[i] - low[i] * cp[i - 1]
+        if i < n - 1:
+            cp[i] = upp[i] / denom
+        dp[i] = ((rhs[i] - low[i] * dp[i - 1]).T / denom).T
+    # Back substitution.
+    m_int = [None] * n
+    m_int[-1] = dp[-1]
+    for i in range(n - 2, -1, -1):
+        m_int[i] = dp[i] - (m_int[i + 1].T * cp[i]).T
+    m1, m2 = m_int[0], m_int[1]
+    mK2, mK3 = m_int[-1], m_int[-2]
+    m0 = (1.0 + r01) * m1 - r01 * m2
+    mK1 = (1.0 + rKK) * mK2 - rKK * mK3
+    return jnp.stack([m0] + m_int + [mK1], axis=0)
+
+
 def spline_fit(points: jnp.ndarray):
     """Fit x(u), y(u) not-a-knot cubics through (K, 2) landmarks.
 
     Returns (u_knots (K,), points (K, 2), second_derivs (K, 2)).
     """
     u = chord_length_params(points)
-    mats_rhs = [_not_a_knot_system(u, points[:, i]) for i in range(2)]
-    mat = jnp.stack([m for m, _ in mats_rhs])
-    rhs = jnp.stack([r for _, r in mats_rhs])
-    m = jnp.linalg.solve(mat, rhs[..., None])[..., 0]  # (2, K)
-    return u, points, m.T
+    if points.shape[0] >= 5:
+        m = _banded_spline_solve(u, points)  # (K, 2)
+    else:  # tiny-K fallback: dense solve (the banded end-condition folding
+        # needs >= 3 interior unknowns)
+        mats_rhs = [_not_a_knot_system(u, points[:, i]) for i in range(2)]
+        mat = jnp.stack([m_ for m_, _ in mats_rhs])
+        rhs = jnp.stack([r for _, r in mats_rhs])
+        m = jnp.linalg.solve(mat, rhs[..., None])[..., 0].T
+    return u, points, m
 
 
 def spline_eval(u_knots, points, m, t, derivative: int = 0):

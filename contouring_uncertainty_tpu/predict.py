@@ -132,7 +132,9 @@ def point_instant_uncertainty(mu, cov, post_cov, umap, entropy, pred, groups=Non
 
     vals, _ = eigh2x2(cov)
     sq = jnp.sqrt(jnp.maximum(vals, 0.0))
-    mask_area = jnp.sum(pred != int(Label.BG), axis=(-2, -1))
+    # Floor at 1 px: an (untrained/degenerate) empty prediction must yield 0
+    # mean-uncertainty scalars, not inf (same guard as SegPredictor).
+    mask_area = jnp.maximum(jnp.sum(pred != int(Label.BG), axis=(-2, -1)), 1)
     cov_projection = sum(
         jax.vmap(projected_uncertainty_value)(mu[:, a:b], cov[:, a:b])
         for a, b, _ in groups

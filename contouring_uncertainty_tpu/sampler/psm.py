@@ -11,8 +11,10 @@ posterior mean.
 TPU-first redesign (SURVEY §2.6 #2): the reference loops
 `for sample: for level: for point:` in Python with a fresh
 `torch.linalg.eig` PCA re-fit per image. Here:
-- the PCA re-fit is a rank-1 covariance update + one (2K,2K) eigh per
-  prediction (prior.py:refit_q);
+- the PCA re-fit appends one column to a fixed factor of cov0
+  (prior.py:refit_factor) and the conditioning solves a numerically-PSD
+  Gram system (no per-prediction eigh at all —
+  prior.py:posterior_shape_model_factor);
 - level structure (point order, observation masks) is static, precomputed at
   construction;
 - one sample is a fixed sequence of 3-4 masked Cholesky solves; samples and
@@ -30,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from contouring_uncertainty_tpu.distributions import bvn, bsn
-from contouring_uncertainty_tpu.distributions.linalg import inv2x2, mat2_mat, mat2_vec
+from contouring_uncertainty_tpu.distributions.linalg import (
+    inv2x2, mat2_mat, mat2_vec, sym_matrix_pow)
 from contouring_uncertainty_tpu.sampler import prior as prior_lib
 from contouring_uncertainty_tpu.sampler.prior import ShapePrior
 
@@ -101,14 +104,20 @@ class PosteriorShapeModelSampler:
             np.isin(np.arange(self.k), np.array(sorted(sampled))).astype(np.float32)
         )
         self._initial = jnp.asarray(np.array(self.initial_points, np.int32))
+        # Fixed full-rank factor of cov0 for the factor-form posterior
+        # (prior.py:cov_factor — Gram-PSD solves, no per-prediction eigh).
+        self._f0 = prior_lib.cov_factor(prior)
 
     # ------------------------------------------------------------------ sampling
 
-    def _posterior_points(self, contour, g_mask, mu_t, q, sigma2):
+    def _posterior_points(self, contour, g_mask, mu_t, f, sigma2):
         """Posterior (mu_c (K,2), cov_c (K,2,2)) in pixel space given the
-        currently sampled contour (unsampled entries are zeros, masked out)."""
+        currently sampled contour (unsampled entries are zeros, masked out).
+        `f` is the re-fit covariance factor [F0|d] (prior.refit_factor) —
+        the factor-form posterior needs no per-prediction eigh and its solve
+        system is a numerically-PSD Gram."""
         s_g_t = prior_lib.transform(self.prior, contour).reshape(-1)
-        mu_c_t, cov_c_t = prior_lib.posterior_shape_model(s_g_t, g_mask, mu_t, q, sigma2)
+        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_factor(s_g_t, g_mask, mu_t, f, sigma2)
         mu_c = prior_lib.inverse_transform(
             self.prior, mu_c_t.reshape(self.k, 2)
         )
@@ -118,9 +127,15 @@ class PosteriorShapeModelSampler:
         scale = self.prior.train_scale
         cov_c_t = cov_c_t * scale[None, :] * scale[:, None]
         cov_c = prior_lib.diag_blocks_2x2(cov_c_t)
+        # PD floor on the 2x2 blocks: the cov-form difference C - CMS^-1MC
+        # cancels catastrophically in f32 when the prediction sits far from
+        # the shape space (||d||^2 >> sigma^2 — untrained/OOD models), and a
+        # slightly indefinite block NaNs the samplers downstream. Exact
+        # no-op for healthy posteriors (eigenvalues already > 1e-6 px^2).
+        cov_c = sym_matrix_pow(cov_c, 1.0, eps=1e-6)
         return mu_c, cov_c
 
-    def _sample_one(self, key, mu_p, cov_p, alpha_p, mu_t, q):
+    def _sample_one(self, key, mu_p, cov_p, alpha_p, mu_t, c):
         """One contour sample (K, 2). All shapes static."""
         keys = jax.random.split(key, len(self._level_points) + 1)
         contour = jnp.zeros_like(mu_p)
@@ -137,7 +152,7 @@ class PosteriorShapeModelSampler:
 
         for i, points in enumerate(self._level_points):
             mu_c, cov_c = self._posterior_points(
-                contour, self._level_masks[i], mu_t, q, self.sigmas[i]
+                contour, self._level_masks[i], mu_t, c, self.sigmas[i]
             )
             mu_f, cov_f = merge_priors(mu_p, cov_p, mu_c, cov_c)
             s = bvn.rvs(keys[i + 1], mu_f, cov_f)
@@ -145,7 +160,7 @@ class PosteriorShapeModelSampler:
             contour = jnp.where(lvl_mask[:, None], s, contour)
 
         # Fill the remaining points from the posterior mean (sigma2 -> 0).
-        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, q, self.fill_sigma)
+        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, c, self.fill_sigma)
         contour = jnp.where(self._sampled_all[:, None] > 0, contour, mu_c)
         return contour
 
@@ -153,12 +168,12 @@ class PosteriorShapeModelSampler:
                  alpha: Optional[jnp.ndarray] = None, n: int = 1) -> jnp.ndarray:
         """Sample n contours for one prediction. mu (K,2), cov (K,2,2) -> (n,K,2)."""
         mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
-        _, q = prior_lib.refit_q(self.prior, mu_t)
+        _, c = prior_lib.refit_factor(self.prior, self._f0, mu_t)
         keys = jax.random.split(key, n)
         if alpha is None:
-            fn = lambda k: self._sample_one(k, mu, cov, None, mu_t, q)
+            fn = lambda k: self._sample_one(k, mu, cov, None, mu_t, c)
         else:
-            fn = lambda k: self._sample_one(k, mu, cov, alpha, mu_t, q)
+            fn = lambda k: self._sample_one(k, mu, cov, alpha, mu_t, c)
         return jax.vmap(fn)(keys)
 
     def sample_batch(self, key: jax.Array, mu: jnp.ndarray, cov: jnp.ndarray,

@@ -107,7 +107,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         snapped = jnp.round((centers - half) / self._step) * self._step
         return jnp.clip(snapped, lo, hi)
 
-    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, q):
+    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, c):
         keys = jax.random.split(key, 2 * len(self._level_points) + 1)
         contour = jnp.zeros_like(mu_p)
 
@@ -117,7 +117,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
 
         for i, points in enumerate(self._level_points):
             mu_c, cov_c = self._posterior_points(
-                contour, self._level_masks[i], mu_t, q, self.sigmas[i]
+                contour, self._level_masks[i], mu_t, c, self.sigmas[i]
             )
             # Gaussian path (non-skew points).
             mu_fuse, cov_fuse = merge_priors(mu_p, cov_p, mu_c, cov_c)
@@ -145,7 +145,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)
             contour = jnp.where(lvl_mask[:, None], s, contour)
 
-        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, q, self.fill_sigma)
+        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, c, self.fill_sigma)
         return jnp.where(self._sampled_all[:, None] > 0, contour, mu_c)
 
     def __call__(self, key: jax.Array, mu: jnp.ndarray, cov: jnp.ndarray,
@@ -154,10 +154,10 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         # Reference flips the y component once up front (psm_skew.py:231).
         alpha_f = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
         mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
-        _, q = prior_lib.refit_q(self.prior, mu_t)
+        _, c = prior_lib.refit_factor(self.prior, self._f0, mu_t)
         keys = jax.random.split(key, n)
         return jax.vmap(
-            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, q)
+            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, c)
         )(keys)
 
     def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):

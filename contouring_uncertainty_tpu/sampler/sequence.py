@@ -47,7 +47,7 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
         self.seq_prior = seq_prior
         self._mask0, self._mask1 = _instant_masks(self.k)
 
-    def _sequence_posterior(self, s_first, first_is_0, seq_mu_t, seq_q):
+    def _sequence_posterior(self, s_first, first_is_0, seq_mu_t, seq_f):
         """84-dim posterior conditioned on the first instant's contour.
 
         Returns per-instant (mu_c (2, K, 2), cov_c (2, K, 2, 2))."""
@@ -59,35 +59,42 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
         )
         s_t = (s_full - self.seq_prior.train_mean) / self.seq_prior.train_scale
         g_mask = jnp.where(first_is_0, self._mask0, self._mask1)
-        mu_c_t, cov_c_t = prior_lib.posterior_shape_model(
-            s_t * g_mask, g_mask, seq_mu_t, seq_q, 1.0
+        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_factor(
+            s_t * g_mask, g_mask, seq_mu_t, seq_f, 1.0
         )
         mu_c = (mu_c_t * self.seq_prior.train_scale + self.seq_prior.train_mean).reshape(2, k, 2)
         scale = self.seq_prior.train_scale
         cov_c_t = cov_c_t * scale[None, :] * scale[:, None]
-        cov_c = prior_lib.diag_blocks_2x2(cov_c_t).reshape(2, k, 2, 2)
+        # Same PD floor as PosteriorShapeModelSampler._posterior_points (the
+        # f32 cov-form difference can leave slightly indefinite 2x2 blocks).
+        from contouring_uncertainty_tpu.distributions.linalg import sym_matrix_pow
+
+        cov_c = sym_matrix_pow(
+            prior_lib.diag_blocks_2x2(cov_c_t), 1.0, eps=1e-6
+        ).reshape(2, k, 2, 2)
         return mu_c, cov_c
 
     def _seq_params(self, mu):
-        """Sequence-prior (mu_t, Q): fixed for the Gaussian variant."""
+        """Sequence-prior (mu_t, factor): the fixed PCA factor Q for the
+        Gaussian variant (exactly the reference's Q-form posterior)."""
         return self.seq_prior.mean_shape, self.seq_prior.q
 
-    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_q):
+    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_f):
         """One (2, K, 2) sequence sample."""
         k_inst, k_first, k_second = jax.random.split(key, 3)
         first_is_0 = jax.random.bernoulli(k_inst)
 
         def one_instant(kk, m, c, a):
             mu_t = prior_lib.transform(self.prior, m).reshape(-1)
-            _, q = prior_lib.refit_q(self.prior, mu_t)
-            return self._sample_one(kk, m, c, a, mu_t, q)
+            _, rf = prior_lib.refit_factor(self.prior, self._f0, mu_t)
+            return self._sample_one(kk, m, c, a, mu_t, rf)
 
         mu_first = jnp.where(first_is_0, mu[0], mu[1])
         cov_first = jnp.where(first_is_0, cov[0], cov[1])
         a_first = None if alpha is None else jnp.where(first_is_0, alpha[0], alpha[1])
         s_first = one_instant(k_first, mu_first, cov_first, a_first)
 
-        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_q)
+        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_f)
         mu_f, cov_f = merge_priors(mu.reshape(-1, 2), cov.reshape(-1, 2, 2),
                                    mu_c.reshape(-1, 2), cov_c.reshape(-1, 2, 2))
         mu_f = mu_f.reshape(2, self.k, 2)
@@ -104,9 +111,9 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
 
     def __call__(self, key, mu, cov, alpha=None, n: int = 1):
         """mu (2, K, 2), cov (2, K, 2, 2) -> samples (n, 2, K, 2)."""
-        seq_mu_t, seq_q = self._seq_params(mu)
+        seq_mu_t, seq_f = self._seq_params(mu)
         keys = jax.random.split(key, n)
-        return jax.vmap(lambda k: self._sample_pair(k, mu, cov, alpha, seq_mu_t, seq_q))(keys)
+        return jax.vmap(lambda k: self._sample_pair(k, mu, cov, alpha, seq_mu_t, seq_f))(keys)
 
     def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):
         """Predictor layout: mu (N=2, T_e, K, 2) -> samples (2, T_e, n, K, 2),
@@ -123,14 +130,17 @@ class SequenceSkewPSMSampler(SequencePSMSampler):
         super().__init__(prior, seq_prior, levels=levels)
         self._skew = SkewPosteriorShapeModelSampler(prior, levels=levels,
                                                     skew_indices=skew_indices, **skew_kw)
+        # Fixed factor of the sequence prior's cov0 for the per-prediction
+        # factor-form re-fit (prior.py:cov_factor).
+        self._seq_f0 = prior_lib.cov_factor(seq_prior)
 
     def _seq_params(self, mu):
         seq_pred_t = (
             (mu.reshape(-1) - self.seq_prior.train_mean) / self.seq_prior.train_scale
         )
-        return prior_lib.refit_q(self.seq_prior, seq_pred_t)
+        return prior_lib.refit_factor(self.seq_prior, self._seq_f0, seq_pred_t)
 
-    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_q):
+    def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_f):
         k_inst, k_first, k_second = jax.random.split(key, 3)
         first_is_0 = jax.random.bernoulli(k_inst)
 
@@ -142,7 +152,7 @@ class SequenceSkewPSMSampler(SequencePSMSampler):
         a_first = jnp.where(first_is_0, alpha[0], alpha[1])
         s_first = one_instant(k_first, mu_first, cov_first, a_first)
 
-        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_q)
+        mu_c, cov_c = self._sequence_posterior(s_first, first_is_0, seq_mu_t, seq_f)
         mu_f, cov_f = merge_priors(mu.reshape(-1, 2), cov.reshape(-1, 2, 2),
                                    mu_c.reshape(-1, 2), cov_c.reshape(-1, 2, 2))
         mu_f = mu_f.reshape(2, self.k, 2)

@@ -94,13 +94,28 @@ class DSNTAleatoric:
         """
         ensemble = variables if isinstance(variables, (list, tuple)) else None
         t_e = len(ensemble) if ensemble else self.t_e
+        if ensemble is None and t_e > 1:
+            # MC dropout: ONE forward at batch T_e*N instead of T_e sequential
+            # batch-N forwards — N is tiny (2 frames/view), so the sequential
+            # loop left the MXU idle; flax dropout draws independent masks per
+            # batch element, so the tiled pass is statistically identical
+            # (different draws for a given key, like any vectorization
+            # reordering).
+            n = img.shape[0]
+            key = rng if rng is not None else jax.random.key(0)
+            tiled = jnp.tile(img, (t_e,) + (1,) * (img.ndim - 1))
+            mu, sigma = self.forward_gaussians(
+                model, variables, tiled, rng=key, mc_dropout=True
+            )
+            mu = mu.reshape((t_e, n) + mu.shape[1:]).swapaxes(0, 1)
+            sigma = sigma.reshape((t_e, n) + sigma.shape[1:]).swapaxes(0, 1)
+            return mu, sigma
         mus, covs = [], []
         for i in range(t_e):
             v = ensemble[i] if ensemble else variables
-            use_dropout = (ensemble is None) and t_e > 1
             key = jax.random.fold_in(rng, i) if rng is not None else jax.random.key(i)
             mu, sigma = self.forward_gaussians(
-                model, v, img, rng=key, mc_dropout=use_dropout
+                model, v, img, rng=key, mc_dropout=False
             )
             mus.append(mu)
             covs.append(sigma)

@@ -128,12 +128,21 @@ class DSNTSkew(DSNTAleatoric):
         """-> mu (N, T_e, K, 2), cov (N, T_e, K, 2, 2), alpha (N, T_e, K, 2)."""
         ensemble = variables if isinstance(variables, (list, tuple)) else None
         t_e = len(ensemble) if ensemble else self.t_e
+        if ensemble is None and t_e > 1:
+            # One batched MC-dropout forward (see DSNTAleatoric.predict).
+            n = img.shape[0]
+            key = rng if rng is not None else jax.random.key(0)
+            tiled = jnp.tile(img, (t_e,) + (1,) * (img.ndim - 1))
+            mu, sigma, alpha = self.forward_skew(
+                model, variables, tiled, rng=key, mc_dropout=True
+            )
+            unbatch = lambda a: a.reshape((t_e, n) + a.shape[1:]).swapaxes(0, 1)
+            return unbatch(mu), unbatch(sigma), unbatch(alpha)
         mus, covs, alphas = [], [], []
         for i in range(t_e):
             v = ensemble[i] if ensemble else variables
-            use_dropout = (ensemble is None) and t_e > 1
             key = jax.random.fold_in(rng, i) if rng is not None else jax.random.key(i)
-            mu, sigma, alpha = self.forward_skew(model, v, img, rng=key, mc_dropout=use_dropout)
+            mu, sigma, alpha = self.forward_skew(model, v, img, rng=key, mc_dropout=False)
             mus.append(mu)
             covs.append(sigma)
             alphas.append(alpha)

@@ -1,0 +1,107 @@
+"""A/B the scanline crossing-selection variants on the real chip.
+
+Variants per (H=256, E=1024) row-selection at batch B masks:
+  f32-approx : approx_min_k on f32 keys (round-2 default)
+  f32-exact  : top_k on negated f32 keys
+  i32-exact  : top_k on negated int32 bucket keys (round-3 candidate)
+  i32-approx : approx_min_k on int buckets cast back to f32
+
+Protocol per CLAUDE.md: enqueue 32 calls, fetch one scalar of the last
+output; best of 3 reps, interleaved A/B across variants.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, E, MC, B = 256, 1024, 16, 500
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-10, 266, size=(B, H, E)).astype(np.float32)
+    # ~99% of entries are +inf (non-crossings), like real scanlines.
+    mask = rng.uniform(size=x.shape) < 0.99
+    x[mask] = np.inf
+    return jnp.asarray(x)
+
+
+@jax.jit
+def f32_approx(x):
+    xs, _ = jax.lax.approx_min_k(x, MC, recall_target=0.99)
+    return xs.sum()
+
+
+@jax.jit
+def f32_exact(x):
+    xs, _ = jax.lax.top_k(-x, MC)
+    return xs.sum()
+
+
+@jax.jit
+def i32_exact(x):
+    xi = jnp.clip(jnp.where(jnp.isfinite(x), jnp.ceil(x), 256.0), 0.0, 256.0)
+    xi = xi.astype(jnp.int32)
+    xs, _ = jax.lax.top_k(-xi, MC)
+    return xs.sum()
+
+
+@jax.jit
+def i32_approx(x):
+    xi = jnp.clip(jnp.where(jnp.isfinite(x), jnp.ceil(x), 256.0), 0.0, 256.0)
+    xs, _ = jax.lax.approx_min_k(xi, MC, recall_target=0.99)
+    return xs.sum()
+
+
+def timed(fn, x, n=32):
+    fn(x).block_until_ready()
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(x)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / n
+
+
+@jax.jit
+def f32_chunked(x):
+    # Two-stage: per-chunk approx min-k over width-128 chunks, then a final
+    # min-k over the 8*MC=128 survivors. Exact under the same global
+    # <=MAX_CROSSINGS assumption (per-chunk crossings <= global crossings).
+    b, h, e = x.shape
+    xc = x.reshape(b * h * 8, e // 8)
+    s1, _ = jax.lax.approx_min_k(xc, MC, recall_target=0.99)
+    s1 = s1.reshape(b * h, 8 * MC)
+    s2, _ = jax.lax.approx_min_k(s1, MC, recall_target=0.99)
+    return s2.sum()
+
+
+@jax.jit
+def f32_chunked_exact2(x):
+    b, h, e = x.shape
+    xc = x.reshape(b * h * 8, e // 8)
+    s1, _ = jax.lax.approx_min_k(xc, MC, recall_target=0.99)
+    s1 = s1.reshape(b * h, 8 * MC)
+    s2, _ = jax.lax.top_k(-s1, MC)
+    return s2.sum()
+
+
+def main():
+    x = make_inputs()
+    variants = {"f32-approx": f32_approx, "f32-exact": f32_exact,
+                "i32-exact": i32_exact, "i32-approx": i32_approx,
+                "f32-chunked": f32_chunked, "f32-chunk-ex2": f32_chunked_exact2}
+    best = {k: float("inf") for k in variants}
+    for rep in range(3):
+        for name, fn in variants.items():
+            dt = timed(fn, x)
+            best[name] = min(best[name], dt)
+            print(f"rep{rep} {name:14s} {dt * 1e3:7.2f} ms / {B} rows-batches")
+    print("\nbest:")
+    for name, dt in sorted(best.items(), key=lambda kv: kv[1]):
+        print(f"  {name:14s} {dt * 1e3:7.2f} ms  ({dt / B * 1e6:6.2f} us/mask)")
+
+
+if __name__ == "__main__":
+    main()
