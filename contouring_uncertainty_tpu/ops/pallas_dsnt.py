@@ -200,7 +200,10 @@ def _raw_moments_pallas_cols(
 ) -> jnp.ndarray:
     """(HW, N) logits columns -> (N, 8) normalized raw moments, one HBM pass."""
     hw, n = flat_t.shape
-    n_block = min(_N_BLOCK, n) if interpret else _N_BLOCK
+    # Block = min(512, n rounded up to the 128-lane tile): small-N callers
+    # (e.g. one view's 21 landmarks in the sharded-serving dryrun) pad to one
+    # 128-lane tile instead of a full 512 block (4x waste, not 24x).
+    n_block = min(_N_BLOCK, n if interpret else -(-n // 128) * 128)
     n_p = -(-n // n_block) * n_block
     if n_p != n:
         # Zero-pad columns: softmax of a zero column is uniform — harmless,
@@ -281,11 +284,14 @@ def _raw_moments_xla(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.n
 def dsnt_raw_moments(flat_logits: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Differentiable fused raw moments. flat_logits (Rows, H*W) -> (Rows, 8).
 
-    The kernel engages only for bf16 inputs on TPU: its moment terms are
-    bf16 on the MXU, which matches bf16 logits exactly, while f32 callers
-    keep the Precision.HIGHEST XLA path (same policy as
-    ops/dsnt.logits_to_pixel_gaussians — the f32 DMA erases the kernel's
-    bandwidth gain anyway)."""
+    The kernel engages only for bf16 inputs on TPU. Its moment matmul runs
+    at FULL f32 HIGHEST precision regardless of input dtype (bf16 terms
+    corrupt small sigmas at 256^2 — the E[x^2]-E[x]^2 cancellation leaves
+    ~1e-3 of the raw moments' magnitude; caught by bench.py's on-chip
+    parity gate, round 3). The bf16-only gate is a BANDWIDTH policy: f32
+    callers keep the Precision.HIGHEST XLA path because the f32 DMA erases
+    the kernel's one-HBM-pass gain (same policy as
+    ops/dsnt.logits_to_pixel_gaussians)."""
     if (
         jax.default_backend() != "cpu"
         and flat_logits.dtype == jnp.bfloat16

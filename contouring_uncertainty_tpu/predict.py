@@ -392,7 +392,10 @@ def _run_predictor(predictor, variables, views, key) -> List[Dict]:
     Views are grouped by image shape into chunks of V = data-axis size
     (ragged tails padded by repeating the last view; padding outputs are
     dropped). Every view keeps its position-derived fold_in(key, vi) key, so
-    the outputs are identical to the sequential path regardless of grouping.
+    the outputs match the sequential path regardless of grouping — to f32
+    tolerance, not bitwise: the vmapped compilation re-associates the
+    rasterizer's crossing math, so isolated thresholded fill-boundary pixels
+    can flip (tests/test_parallel.py bounds the mask mismatch).
     """
     if predictor.mesh is None or predictor.mesh.devices.size == 1:
         return [
@@ -452,9 +455,10 @@ def run_predict(task, variables, data, cfg, split: str = "test",
     (then results processors — results/__init__.py — consume them).
 
     `mesh` turns on data-parallel serving: views are stacked and sharded one
-    per chip over the mesh's data axis (parallel/serving.py), with identical
-    outputs to the sequential path (asserted by
-    tests/test_parallel.py mesh(1)-vs-mesh(8) inference equivalence)."""
+    per chip over the mesh's data axis (parallel/serving.py), matching the
+    sequential path to f32 tolerance (asserted by tests/test_parallel.py
+    mesh(1)-vs-mesh(8) inference equivalence, incl. a small boundary-pixel
+    budget on the thresholded masks)."""
     from contouring_uncertainty_tpu.tasks.segmentation import SegmentationUncertaintyTask
 
     if isinstance(task, SegmentationUncertaintyTask):

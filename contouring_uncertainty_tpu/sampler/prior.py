@@ -123,21 +123,6 @@ def refit_q(prior: ShapePrior, pred_flat_t: jnp.ndarray) -> Tuple[jnp.ndarray, j
     return pred_flat_t, _q_from_cov(cov)
 
 
-def refit_cov(prior: ShapePrior, pred_flat_t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Covariance-form per-prediction re-fit: (mu (P,), C (P, P)).
-
-    C = Cov0 + d d^T is exactly the Q Q^T of `refit_q`'s eigendecomposition
-    (C is PSD so the |lambda| there is a no-op), but costs one outer product
-    instead of an iterative 42x42 eigh per prediction — the eigh (EighTpu +
-    QDWH fusions) was ~10% of the uncertainty-propagation view step, and in
-    the sequence samplers it ran per SAMPLE (trace r3). Consumers use
-    `posterior_shape_model_cov`, which by the push-through identity computes
-    the identical posterior without ever forming Q.
-    """
-    d = prior.x_train_mean - pred_flat_t
-    return pred_flat_t, prior.cov0 + d[:, None] * d[None, :]
-
-
 def cov_factor(prior: ShapePrior, floor: float = 1e-7) -> jnp.ndarray:
     """One-time full-rank factor F0 with F0 F0^T = cov0 (host-side f64 eigh
     with trace-scaled eigenvalue floor — cov0 is stored f32, so its rounding
@@ -148,11 +133,12 @@ def cov_factor(prior: ShapePrior, floor: float = 1e-7) -> jnp.ndarray:
     Used by the samplers' factor-form posterior: refitting around a
     prediction appends the single column d = x_train_mean - pred to F0
     (C = F0 F0^T + d d^T = [F0|d][F0|d]^T), so the conditional system stays
-    a numerically-PSD Gram *and* needs no per-prediction eigh. The explicit
-    cov form (refit_cov) Choleskys sigma2 I + M C M with C formed as
-    cov0 + d d^T, whose f32 eigenvalue noise (~||C|| eps K) exceeds the
-    fill-step sigma2=1e-3 once ||d|| is large (untrained/OOD predictions),
-    NaN-ing the solve — caught by the round-3 TPU verify drive.
+    a numerically-PSD Gram *and* needs no per-prediction eigh. (An explicit
+    cov form — Cholesky of sigma2 I + M C M with C formed as cov0 + d d^T —
+    was built first and removed, git history r3: C's f32 eigenvalue noise
+    (~||C|| eps K) exceeds the fill-step sigma2=1e-3 once ||d|| is large
+    (untrained/OOD predictions), NaN-ing the solve — caught by the round-3
+    TPU verify drive.)
     """
     c0 = np.asarray(prior.cov0, np.float64)
     p = c0.shape[0]
@@ -181,8 +167,14 @@ def posterior_shape_model_factor(
     C = F F^T (F (P, R), any R — the fixed prior's Q, or [F0|d] from
     refit_factor).
 
-    Identical math to `posterior_shape_model_cov`, but the solve system
-    S = sigma2 I + (M F)(M F)^T is a GRAM matrix — numerically PSD in f32
+    Push-through/Woodbury on C = F F^T (same math as `posterior_shape_model`
+    below, reference posteriorshapemodel.py:49-81):
+
+        S     = sigma2 I + (M F)(M F)^T     (symmetric PD)
+        mu_c  = mu + C M S^-1 (s_g - mu)_g
+        cov_c = C - C M S^-1 M C
+
+    The solve system S is a GRAM matrix — numerically PSD in f32
     regardless of conditioning, like the reference's Q-form A = Q_g^T Q_g
     + sigma2 I — while still needing no eigendecomposition anywhere. The
     (P, P) solves are sample-independent, so they hoist out of the
@@ -212,39 +204,6 @@ def posterior_shape_model_factor(
     resid = (s_g_t - mu_t) * g_mask
     mu_c = mu_t + half.T @ resid
     cov_c = f @ f.T - half.T @ mc
-    return mu_c, cov_c
-
-
-def posterior_shape_model_cov(
-    s_g_t: jnp.ndarray,
-    g_mask: jnp.ndarray,
-    mu_t: jnp.ndarray,
-    c: jnp.ndarray,
-    sigma2: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Masked conditional shape distribution from the FULL covariance C=QQ^T.
-
-    Mathematically identical to `posterior_shape_model` (push-through /
-    Woodbury on the reference's factor form, posteriorshapemodel.py:49-81):
-
-        S     = sigma2 I + M C M          (symmetric PD)
-        mu_c  = mu + C M S^-1 (s_g - mu)_g
-        cov_c = C - C M S^-1 M C
-
-    but solved with one (P, P) Cholesky instead of requiring the PCA factor —
-    so the per-prediction re-fit needs no eigendecomposition (see refit_cov).
-    Everything except `s_g_t` is sample-independent, so under the T_a-sample
-    vmap the factorization and the (P, P) solves hoist out of the sample loop
-    (same associativity argument as the Q-form below).
-    """
-    p = mu_t.shape[0]
-    mc = c * g_mask[:, None]  # M C  (rows masked)
-    s = sigma2 * jnp.eye(p, dtype=c.dtype) + mc * g_mask[None, :]
-    chol = jax.scipy.linalg.cho_factor(s)
-    half = jax.scipy.linalg.cho_solve(chol, mc)  # S^-1 M C  (P, P)
-    resid = (s_g_t - mu_t) * g_mask
-    mu_c = mu_t + half.T @ resid  # C M S^-1 resid
-    cov_c = c - half.T @ mc
     return mu_c, cov_c
 
 

@@ -48,16 +48,20 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         )
         self._extent = float(image_extent)
         self._step = image_extent / (grid_size - 1)  # grid cell pitch
-        # Window sizing against silent truncation: the grid-product density's
-        # sigma is bounded by the PSM-posterior factor's, whose covariance
-        # (sigma_l^2 Q A^-1 Q^T) is *static* per level — it depends only on
-        # the level masks, the prior Q, and the level sigma, never on the
-        # sampled contour or the network's predicted sigmas (which can blow
-        # up but only ever shrink the product). A window covering >= 6 of
-        # that bound therefore holds the truncated mass at the Gaussian-tail
-        # level no matter how poorly trained the model is. grid_window=None
-        # derives the window from the bound automatically; an explicit
-        # window smaller than the bound warns once at construction.
+        # Window sizing against silent truncation, two layers:
+        # (a) STATIC cell count from the fixed-prior posterior bound
+        #     (sigma_l^2 Q A^-1 Q^T — depends only on level masks, prior Q,
+        #     level sigma). grid_window=None derives the count from it; an
+        #     explicit window smaller than the bound warns once.
+        # (b) ADAPTIVE per-point pitch at sample time: the per-prediction
+        #     re-fit factor [F0|d] can inflate the posterior sigma ~||d||
+        #     for OOD predictions (coordinates the static bound cannot see),
+        #     so each point's lattice pitch is widened to
+        #     max(step, 6 sigma_fused / (W-1)) — the window always spans
+        #     >= 6 fused sigmas. Healthy predictions keep the exact global
+        #     pitch (bit-identical to the full-grid draw's lattice); only a
+        #     blown-up point trades lattice resolution (still W cells across
+        #     6 sigma) for zero tail truncation.
         max_std_px = self._posterior_std_bound_px()
         needed = int(np.ceil(6.0 * max_std_px / self._step)) + 1
         if grid_window is None:
@@ -76,7 +80,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
                     stacklevel=2,
                 )
         self._window = w
-        ax = jnp.arange(w, dtype=jnp.float32) * self._step
+        ax = jnp.arange(w, dtype=jnp.float32)  # cell units; scaled per point
         gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
         self._wgrid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (W^2, 2)
 
@@ -98,12 +102,22 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             worst = max(worst, float(std_px.max()))
         return worst
 
-    def _window_offsets(self, centers):
+    def _point_steps(self, cov_fuse):
+        """(K, 1) per-point lattice pitch: the global grid pitch, widened
+        where the fused covariance needs more span than the static window
+        provides (layer (b) above). sigma bound = sqrt(max diag)."""
+        sig = jnp.sqrt(jnp.maximum(
+            jnp.maximum(cov_fuse[..., 0, 0], cov_fuse[..., 1, 1]), 0.0))
+        return jnp.maximum(self._step,
+                           6.0 * sig / (self._window - 1))[:, None]
+
+    def _window_offsets(self, centers, steps):
         """(K, 2) window origins on the global grid lattice, centered on the
-        per-point product-fusion means and clipped inside the image."""
-        half = (self._window - 1) / 2.0 * self._step
+        per-point product-fusion means and clipped inside the image.
+        `steps` (K, 1) is the per-point pitch from `_point_steps`."""
+        half = (self._window - 1) / 2.0 * steps
         lo = jnp.zeros((), jnp.float32)
-        hi = self._extent - (self._window - 1) * self._step
+        hi = jnp.maximum(self._extent - (self._window - 1) * steps, 0.0)
         snapped = jnp.round((centers - half) / self._step) * self._step
         return jnp.clip(snapped, lo, hi)
 
@@ -128,18 +142,19 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             # drawn point is reconstructed from the index arithmetically —
             # materializing a (K, W^2, 2) grid tensor would batch to tens of
             # GB under the (T_e x T_a) sample vmaps.
-            offs = self._window_offsets(mu_fuse)  # (K, 2)
+            steps = self._point_steps(cov_fuse)  # (K, 1) adaptive pitch
+            offs = self._window_offsets(mu_fuse, steps)  # (K, 2)
 
-            def point_logits(off, m, c, a, mc, cc):
-                g = off[None, :] + self._wgrid  # (W^2, 2), fused intermediate
+            def point_logits(off, st, m, c, a, mc, cc):
+                g = off[None, :] + self._wgrid * st  # (W^2, 2), fused interm.
                 return bsn.logpdf(g, m, c, a) + bvn.logpdf(g, mc, cc)
 
             logits = jax.vmap(point_logits)(
-                offs, mu_p, cov_p, alpha_f, mu_c, cov_c
+                offs, steps, mu_p, cov_p, alpha_f, mu_c, cov_c
             )  # (K, W^2)
             idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (K,)
             sub = jnp.stack([idx // self._window, idx % self._window], axis=-1)
-            s_skew = offs + sub.astype(offs.dtype) * self._step
+            s_skew = offs + sub.astype(offs.dtype) * steps
             s = jnp.where(self._skew_mask[:, None], s_skew, s_gauss)
 
             lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)

@@ -57,33 +57,6 @@ def test_posterior_shape_model_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(cov_c), ref_cov, atol=2e-4)
 
 
-def test_posterior_shape_model_cov_matches_q_form():
-    """The covariance-form posterior (one Cholesky, no PCA factor) must agree
-    with the Q-form for C = Q Q^T — the round-3 sampler hot path replaced
-    refit_q/posterior_shape_model with refit_cov/posterior_shape_model_cov."""
-    rng = np.random.default_rng(7)
-    p = 12
-    q = rng.normal(size=(p, p)) * 0.5
-    c = q @ q.T
-    mu = rng.normal(size=(p,))
-    s_g = rng.normal(size=(p,))
-    mask = np.zeros(p)
-    mask[[0, 1, 6, 7, 10]] = 1.0
-    for sigma2 in (1.0, 0.1, 1e-3):
-        mu_q, cov_q = prior_lib.posterior_shape_model(
-            jnp.asarray(s_g * mask), jnp.asarray(mask), jnp.asarray(mu),
-            jnp.asarray(q), sigma2,
-        )
-        mu_c, cov_c = prior_lib.posterior_shape_model_cov(
-            jnp.asarray(s_g * mask), jnp.asarray(mask), jnp.asarray(mu),
-            jnp.asarray(c), sigma2,
-        )
-        np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_q),
-                                   atol=5e-4, rtol=1e-3)
-        np.testing.assert_allclose(np.asarray(cov_c), np.asarray(cov_q),
-                                   atol=5e-4, rtol=1e-3)
-
-
 def test_posterior_factor_form_matches_q_form_and_stays_finite():
     """The factor-form posterior (Gram solve on [F0|d], the samplers' hot
     path) must agree with the Q-form for F = Q, and must stay finite at the
@@ -126,19 +99,6 @@ def test_posterior_factor_form_matches_q_form_and_stays_finite():
     )
     assert bool(jnp.isfinite(mu_c).all())
     assert bool(jnp.isfinite(cov_c).all())
-
-
-def test_refit_cov_matches_refit_q_factor():
-    contours = _train_contours(200)
-    prior = fit_shape_prior(contours)
-    rng = np.random.default_rng(8)
-    pred = contours[0] + rng.normal(scale=2.0, size=contours[0].shape)
-    pred_t = jnp.asarray(
-        np.asarray(prior_lib.transform(prior, jnp.asarray(pred, jnp.float32))).reshape(-1)
-    )
-    _, q = prior_lib.refit_q(prior, pred_t)
-    _, c = prior_lib.refit_cov(prior, pred_t)
-    np.testing.assert_allclose(np.asarray(q @ q.T), np.asarray(c), atol=2e-2, rtol=1e-2)
 
 
 def test_refit_q_reconstructs_noncentered_covariance():

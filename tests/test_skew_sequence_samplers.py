@@ -106,13 +106,14 @@ def test_windowed_vs_full_grid_equivalence():
     mu_c, cov_c = win._posterior_points(
         mu, win._level_masks[0], mu_t, q, win.sigmas[0]
     )
-    mu_f, _ = merge_priors(mu, cov, mu_c, cov_c)
-    offs = np.asarray(win._window_offsets(mu_f))
+    mu_f, cov_f = merge_priors(mu, cov, mu_c, cov_c)
+    steps = win._point_steps(cov_f)
+    offs = np.asarray(win._window_offsets(mu_f, steps))
+    steps = np.asarray(steps)
     step = win._step
     ax = jnp.arange(128, dtype=jnp.float32) * step
     gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
     grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
-    hi = (win._window - 1) * step
     worst = 0.0
     for k in range(21):
         lp = bsn.logpdf(grid, mu[k], cov[k], alpha_f[k]) + bvn.logpdf(
@@ -120,12 +121,48 @@ def test_windowed_vs_full_grid_equivalence():
         )
         p = np.asarray(jax.nn.softmax(lp))
         g = np.asarray(grid)
+        hi = (win._window - 1) * steps[k, 0]
         inside = (
             (g[:, 0] >= offs[k, 0] - 1e-5) & (g[:, 0] <= offs[k, 0] + hi + 1e-5)
             & (g[:, 1] >= offs[k, 1] - 1e-5) & (g[:, 1] <= offs[k, 1] + hi + 1e-5)
         )
         worst = max(worst, float(p[~inside].sum()))
     assert worst < 1e-7, f"truncated mass {worst:.2e}"
+
+
+def test_window_pitch_adapts_to_ood_posterior():
+    """OOD guard (round-3 review finding): the per-prediction re-fit factor
+    [F0|d] inflates the posterior sigma ~||d|| for predictions far from the
+    shape space — beyond the STATIC window bound computed from the fixed
+    prior. The adaptive per-point pitch must widen the lattice so the window
+    still spans >= 6 fused sigmas (no silent tail truncation), and samples
+    must actually spread beyond the static window's span instead of being
+    clipped to it."""
+    contours = _train_contours()
+    prior = fit_shape_prior(contours)
+    win = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=None)
+    step0 = win._step
+
+    # Healthy fused covariance -> exact global pitch (full-grid lattice).
+    cov_small = jnp.tile(jnp.eye(2) * 4.0, (21, 1, 1))
+    np.testing.assert_allclose(np.asarray(win._point_steps(cov_small)), step0)
+
+    # Blown-up fused covariance (sigma 30 px >> static window span / 6).
+    cov_big = jnp.tile(jnp.eye(2) * 900.0, (21, 1, 1))
+    steps = np.asarray(win._point_steps(cov_big))
+    assert (steps > step0).all()
+    assert ((win._window - 1) * steps >= 6.0 * 30.0 - 1e-3).all()
+
+    # End to end: an OOD prediction (far off the shape space) with wide
+    # predicted sigma must yield finite samples whose spread is NOT clamped
+    # by the static window extent.
+    mu_ood = jnp.asarray(contours[0] + 60.0, jnp.float32)
+    alpha = jnp.ones((21, 2))
+    s = np.asarray(win(jax.random.key(3), mu_ood, cov_big, alpha, n=256))
+    assert np.isfinite(s).all()
+    static_span = (win._window - 1) * step0
+    spread = s.std(0).max()
+    assert spread > static_span / 4.0, (spread, static_span)
 
 
 def test_sequence_sampler_couples_instants():

@@ -159,7 +159,11 @@ def parse_trace(trace_dir, batch):
     # work. Use the LAST complete jit envelope (first may include warmup).
     tops = sorted((e for e in dev if str(e.get("name", "")).startswith("jit_")),
                   key=lambda e: e["ts"])
-    main = max(tops, key=lambda e: e.get("dur", 0.0))
+    # "Complete" = within 2x of the longest envelope (filters helper jits and
+    # partial envelopes at the trace edge); take the LAST of those so a
+    # warmup/slow-tenancy outlier at the start can't masquerade as the step.
+    dmax = max(e.get("dur", 0.0) for e in tops)
+    main = [e for e in tops if e.get("dur", 0.0) >= 0.5 * dmax][-1]
     t0, t1 = main["ts"], main["ts"] + main["dur"]
     inner = [e for e in dev if e is not main
              and e["ts"] >= t0 - 1 and e["ts"] + e.get("dur", 0) <= t1 + 1
