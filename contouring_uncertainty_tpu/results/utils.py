@@ -141,6 +141,8 @@ def thresholded_metrics(uncertainties: Dict, metrics: Dict, u_keys, m_keys,
 
 
 def _pearson(x: np.ndarray, y: np.ndarray) -> float:
+    if x.size == 0 or y.size == 0:
+        return np.nan
     x = x - x.mean()
     y = y - y.mean()
     denom = np.sqrt((x * x).sum() * (y * y).sum())
@@ -160,7 +162,11 @@ def _cooks_distance_filter(x: np.ndarray, y: np.ndarray, factor: float = 4.0):
     mse = (resid ** 2).sum() / max(n - 2, 1)
     leverage = np.einsum("ni,ij,nj->n", design, hat_core, design)
     denom = 2 * mse * (1 - leverage) ** 2
-    cooks = np.where(denom > 0, resid ** 2 * leverage / denom, np.inf)
+    # np.where would evaluate the division on denom == 0 rows and warn;
+    # divide with an explicit where + inf fill keeps those rows excluded
+    # silently (a zero-denominator point is an exact-leverage outlier).
+    cooks = np.divide(resid ** 2 * leverage, denom,
+                      out=np.full(n, np.inf), where=denom > 0)
     return cooks < factor / n
 
 

@@ -140,6 +140,78 @@ def build_predict(batch):
     return step
 
 
+def build_skew(batch):
+    """Skew uncertainty-propagation view step at the TMI budget (t_e=10 x
+    t_a=25, 21 landmarks @ 256^2, grid-product skew sampling + skew umaps) —
+    the MICCAI-headline path. `batch` is frames per view (2)."""
+    import tempfile as _tf
+
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor, get_or_fit_prior)
+    from contouring_uncertainty_tpu.sampler.psm_skew import (
+        SkewPosteriorShapeModelSampler)
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+
+    tmp = _tf.mkdtemp()
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTSkew(data_params=data.data_params, t_a=25, t_e=10,
+                    model_kwargs={"drop_block": True})
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    sampler = SkewPosteriorShapeModelSampler(
+        prior, skew_indices=task.skew_indices, image_extent=255.0,
+        grid_window=64)
+    predictor = AleatoricPredictor(task, model, sampler)
+    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    key = jax.random.key(0)
+
+    def step():
+        out = predictor(variables, view, key)
+        return (out["pred"],)
+
+    return step
+
+
+def build_seq(batch):
+    """Sequence (ED<->ES) uncertainty-propagation view step at the TMI budget:
+    Gaussian sequence sampler (fixed 84-dim sequence prior), t_e=10 x t_a=25.
+    `batch` is frames per view (2)."""
+    import tempfile as _tf
+
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor, get_or_fit_prior, get_or_fit_sequence_prior)
+    from contouring_uncertainty_tpu.sampler.sequence import SequencePSMSampler
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    tmp = _tf.mkdtemp()
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTAleatoric(data_params=data.data_params, t_a=25, t_e=10,
+                         model_kwargs={"drop_block": True})
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    seq_prior = get_or_fit_sequence_prior(data, None)
+    sampler = SequencePSMSampler(prior, seq_prior)
+    predictor = AleatoricPredictor(task, model, sampler)
+    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    key = jax.random.key(0)
+
+    def step():
+        out = predictor(variables, view, key)
+        return (out["pred"],)
+
+    return step
+
+
 def parse_trace(trace_dir, batch):
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -212,9 +284,11 @@ def parse_trace(trace_dir, batch):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
-        512 if mode == "serve" else 2 if mode == "predict" else 64)
+        512 if mode == "serve" else
+        2 if mode in ("predict", "skew", "seq") else 64)
     build = {"serve": build_serve, "train": build_train,
-             "predict": build_predict}[mode]
+             "predict": build_predict, "skew": build_skew,
+             "seq": build_seq}[mode]
     step = build(batch)
 
     _sync(step())  # compile + warm
