@@ -9,9 +9,11 @@ skew-normal pdf and the PSM posterior Gaussian evaluated on a 256x256 grid
 remaining points fill from the posterior mean.
 
 TPU-first (SURVEY §2.6 #3): the grid product is computed in log space for all
-K points at once ((K, W^2) logits + one categorical per point) and the whole
-(samples x batch) population vmaps — the reference looped points x samples in
-Python with torch.multinomial per point and a try/except fallback to mu.
+S skew points at once ((S, W^2) logits + one categorical per point, a static
+gather at skew_indices — skew5/skew9 configs pay 5/21 or 9/21 of the full
+grid work) and the whole (samples x batch) population vmaps — the reference
+looped points x samples in Python with torch.multinomial per point and a
+try/except fallback to mu.
 
 The categorical runs over a WINDOW of the pixel grid (default 64x64, same
 integer cell centers as the reference's full 256x256 grid) centered on the
@@ -45,6 +47,15 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
         self._skew_mask = jnp.asarray(
             np.isin(np.arange(self.k), np.array(skew_indices))
+        )
+        # Static positions of the skew points: the grid-product categorical
+        # (the expensive part — (S, W^2) fused logpdf evals per level) only
+        # runs at these indices instead of all K. For the reference's skew5/
+        # skew9 configs that is a 4.2x/2.3x cut in grid work; for the default
+        # all-points config it is the identity. Static index array => static
+        # shapes under jit.
+        self._skew_idx = jnp.asarray(
+            np.sort(np.unique(np.asarray(skew_indices, np.int32)))
         )
         self._extent = float(image_extent)
         self._step = image_extent / (grid_size - 1)  # grid cell pitch
@@ -136,26 +147,29 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             # Gaussian path (non-skew points).
             mu_fuse, cov_fuse = merge_priors(mu_p, cov_p, mu_c, cov_c)
             s_gauss = bvn.rvs(keys[2 * i + 1], mu_fuse, cov_fuse)
-            # Grid-product path (skew points): categorical over a pixel-grid
-            # window around each point's fusion mean. The window coordinates
-            # are (re)derived inside the fused logpdf computation and the
-            # drawn point is reconstructed from the index arithmetically —
-            # materializing a (K, W^2, 2) grid tensor would batch to tens of
-            # GB under the (T_e x T_a) sample vmaps.
-            steps = self._point_steps(cov_fuse)  # (K, 1) adaptive pitch
-            offs = self._window_offsets(mu_fuse, steps)  # (K, 2)
+            # Grid-product path (skew points only — static gather at
+            # self._skew_idx): categorical over a pixel-grid window around
+            # each point's fusion mean. The window coordinates are
+            # (re)derived inside the fused logpdf computation and the drawn
+            # point is reconstructed from the index arithmetically —
+            # materializing an (S, W^2, 2) grid tensor would batch to tens
+            # of GB under the (T_e x T_a) sample vmaps.
+            si = self._skew_idx
+            steps = self._point_steps(cov_fuse[si])  # (S, 1) adaptive pitch
+            offs = self._window_offsets(mu_fuse[si], steps)  # (S, 2)
 
             def point_logits(off, st, m, c, a, mc, cc):
                 g = off[None, :] + self._wgrid * st  # (W^2, 2), fused interm.
                 return bsn.logpdf(g, m, c, a) + bvn.logpdf(g, mc, cc)
 
             logits = jax.vmap(point_logits)(
-                offs, steps, mu_p, cov_p, alpha_f, mu_c, cov_c
-            )  # (K, W^2)
-            idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (K,)
+                offs, steps, mu_p[si], cov_p[si], alpha_f[si],
+                mu_c[si], cov_c[si]
+            )  # (S, W^2)
+            idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (S,)
             sub = jnp.stack([idx // self._window, idx % self._window], axis=-1)
             s_skew = offs + sub.astype(offs.dtype) * steps
-            s = jnp.where(self._skew_mask[:, None], s_skew, s_gauss)
+            s = s_gauss.at[si].set(s_skew)
 
             lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)
             contour = jnp.where(lvl_mask[:, None], s, contour)

@@ -56,6 +56,43 @@ def test_skew_psm_mixed_indices():
     assert samples.shape == (20, 21, 2) and np.isfinite(samples).all()
 
 
+def test_skew_subset_matches_gaussian_psm_with_zero_alpha():
+    """The static skew-subset gather (grid product computed only at
+    skew_indices) must leave the sampling distribution intact: with alpha=0
+    the skew-normal is the Gaussian, so a skew5-subset sampler's population
+    must match the plain Gaussian PSM sampler's at EVERY point (skew points
+    draw from the same fusion product on the lattice; non-skew points take
+    the identical Gaussian path)."""
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+
+    contours = _train_contours()
+    prior = fit_shape_prior(contours)
+    subset = [0, 5, 10, 15, 20]
+    skew = SkewPosteriorShapeModelSampler(
+        prior, skew_indices=subset, grid_size=256, grid_window=None)
+    gauss = PosteriorShapeModelSampler(prior)
+    mu = jnp.asarray(contours[2], jnp.float32)
+    cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
+    alpha = jnp.zeros((21, 2))
+
+    n = 400
+    s_skew = np.asarray(skew(jax.random.key(0), mu, cov, alpha, n=n))
+    s_gauss = np.asarray(gauss(jax.random.key(1), mu, cov, n=n))
+    assert np.isfinite(s_skew).all()
+
+    # Per-point mean agreement: SE of the mean ~ sigma/sqrt(n); the posterior
+    # fusion keeps per-point sigma <= 3 px here, so 3-sigma band ~ 0.45 px +
+    # 0.5 px lattice quantization headroom at the skew points.
+    mean_diff = np.linalg.norm(s_skew.mean(0) - s_gauss.mean(0), axis=-1)
+    assert mean_diff.max() < 1.5, f"max mean diff {mean_diff.max():.2f}"
+    # Per-point std agreement within 25% relative (chi-square spread at
+    # n=400 is ~10%; lattice discretization adds a little at skew points).
+    std_s = s_skew.std(0)
+    std_g = s_gauss.std(0)
+    rel = np.abs(std_s - std_g) / np.maximum(std_g, 0.5)
+    assert rel.max() < 0.25, f"max std rel diff {rel.max():.2f}"
+
+
 def test_windowed_vs_full_grid_equivalence():
     """The round-2 windowed grid-product draw must be distributionally
     indistinguishable from the reference-exact full-grid draw
