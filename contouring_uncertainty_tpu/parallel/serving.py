@@ -11,8 +11,10 @@ data parallelism over the mesh's ICI axis, in two shapes:
    past the single-chip ~4k frames/s ceiling). bench.py's aggregate mode
    runs this over every visible chip.
 
-2. **Uncertainty propagation** (`constrain_sample_axis`, used by
-   predict.AleatoricPredictor/SegPredictor when constructed with a mesh):
+2. **Uncertainty propagation** (`constrain_sample_axis`, used by the
+   predictors' SINGLE-VIEW latency path — `predictor(variables, img, key)`
+   when constructed with a multi-device mesh; the `batched()` path shards
+   whole views over the same axis instead, so the two modes never compose):
    a view's Monte-Carlo population (N, T_e, T_a, ...) is embarrassingly
    parallel over the T_a sample axis, which carries the dominant cost (PSM
    sampling chains + N*T_e*T_a rasterizations). A sharding constraint on

@@ -166,7 +166,16 @@ class _ViewPredictor:
     def __call__(self, variables, img: jnp.ndarray, key) -> Dict:
         n = img.shape[0]
         if n not in self._jitted:
-            self._jitted[n] = jax.jit(self._view_fn)
+            fn = self._view_fn
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # Latency mode: ONE view, its Monte-Carlo sample axis sharded
+                # across the mesh (parallel/serving.py constrain_sample_axis)
+                # so the per-sample chain — PSM sampling, rasterization,
+                # entropy — partitions over chips. The batched() path shards
+                # whole views instead (throughput mode); the two must not
+                # compose, so the constraint only enters this jit.
+                fn = partial(fn, shard_samples=True)
+            self._jitted[n] = jax.jit(fn)
         return self._jitted[n](variables, img, key)
 
     def batched(self, variables, imgs: jnp.ndarray, keys) -> Dict:
@@ -243,9 +252,11 @@ class AleatoricPredictor(_ViewPredictor):
             out = mask * lab if out is None else jnp.where(mask > 0, lab, out)
         return out
 
-    def _view_fn(self, variables, img, key):
+    def _view_fn(self, variables, img, key, shard_samples=False):
+        from contouring_uncertainty_tpu.parallel.serving import constrain_sample_axis
         from contouring_uncertainty_tpu.utils.umap import skew_umap
 
+        smesh = self.mesh if shard_samples else None
         h, w = img.shape[-2:]
         out = self.task.predict(self.model, variables, img, rng=key)
         skew = len(out) == 3
@@ -260,10 +271,13 @@ class AleatoricPredictor(_ViewPredictor):
             samples = self.sampler.sample_batch(
                 jax.random.fold_in(key, 1), mu_te, cov_te, n=self.t_a
             )  # (N, T_e, T_a, K, 2)
+        samples = constrain_sample_axis(samples, smesh, 2)
         mu, cov = fuse_epistemic_aleatoric(mu_te, cov_te)
         post_mu, post_cov = population_posterior(samples)
 
-        pred_samples = self._rasterize_labelmap(samples, h, w)  # (N, T_e, T_a, H, W)
+        pred_samples = constrain_sample_axis(
+            self._rasterize_labelmap(samples, h, w), smesh, 2
+        )  # (N, T_e, T_a, H, W)
         if self.soft_mask:
             # Soft masks are only meaningful for a single binary structure
             # (reference convert_to_mask soft_mask path is binary-only too).
@@ -338,10 +352,12 @@ class SegPredictor(_ViewPredictor):
         self._jitted = {}
         self._jitted_batched = {}
 
-    def _view_fn(self, variables, img, key):
+    def _view_fn(self, variables, img, key, shard_samples=False):
         from contouring_uncertainty_tpu.ops.morphology import postprocess_batch
+        from contouring_uncertainty_tpu.parallel.serving import constrain_sample_axis
 
         probs = self.task.predict_probs(self.model, variables, img, key)
+        probs = constrain_sample_axis(probs, self.mesh if shard_samples else None, 2)
         # (N, T_e, T_a, C, H, W); binary case C == 1.
         binary = probs.shape[3] == 1
         if binary:

@@ -126,6 +126,37 @@ def test_mesh_inference_equivalence(tmp_path):
             np.testing.assert_allclose(ua, ub, rtol=rtol, atol=1e-3, err_msg=k)
 
 
+def test_sample_axis_latency_mode_equivalence(tmp_path):
+    """Single-view LATENCY serving: a predictor built with mesh(8) shards the
+    T_a sample axis across chips inside its single-view jit
+    (parallel/serving.py constrain_sample_axis). Outputs must match the
+    mesh-less predictor to the same f32/reassociation budgets as the
+    throughput path (same key => same base draws)."""
+    from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+
+    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
+    model = task.build_model()
+    prior = get_or_fit_prior(data, None)
+    sampler = PosteriorShapeModelSampler(prior)
+    base = AleatoricPredictor(task, model, sampler)
+    lat = AleatoricPredictor(task, model, sampler, mesh=make_mesh(8))
+
+    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    key = jax.random.key(7)
+    a = jax.tree.map(np.asarray, base(variables, view, key))
+    b = jax.tree.map(np.asarray, lat(variables, view, key))
+
+    np.testing.assert_allclose(a["mu"], b["mu"], atol=1e-4)
+    np.testing.assert_allclose(a["cov"], b["cov"], atol=1e-4)
+    d = np.abs(a["contour_samples"] - b["contour_samples"])
+    assert np.quantile(d, 0.8) < 1e-2, np.quantile(d, 0.8)
+    assert d.max() < 2.5, d.max()
+    assert (a["pred"] != b["pred"]).mean() < 1e-2
+    de = np.abs(a["entropy_map"] - b["entropy_map"])
+    assert de.mean() < 0.03, de.mean()
+
+
 def test_sharded_forward_equivalence():
     """Flagship inference step sharded over mesh(8) == single-device forward
     (params replicated, batch split over the data axis)."""
