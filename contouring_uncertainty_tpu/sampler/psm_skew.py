@@ -45,9 +45,6 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
                  grid_window: Optional[int] = 64, **kwargs):
         super().__init__(prior, levels=levels, **kwargs)
         skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
-        self._skew_mask = jnp.asarray(
-            np.isin(np.arange(self.k), np.array(skew_indices))
-        )
         # Static positions of the skew points: the grid-product categorical
         # (the expensive part — (S, W^2) fused logpdf evals per level) only
         # runs at these indices instead of all K. For the reference's skew5/
@@ -114,7 +111,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         return worst
 
     def _point_steps(self, cov_fuse):
-        """(K, 1) per-point lattice pitch: the global grid pitch, widened
+        """(..., 1) per-point lattice pitch: the global grid pitch, widened
         where the fused covariance needs more span than the static window
         provides (layer (b) above). sigma bound = sqrt(max diag)."""
         sig = jnp.sqrt(jnp.maximum(
@@ -123,9 +120,9 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
                            6.0 * sig / (self._window - 1))[:, None]
 
     def _window_offsets(self, centers, steps):
-        """(K, 2) window origins on the global grid lattice, centered on the
+        """(..., 2) window origins on the global grid lattice, centered on the
         per-point product-fusion means and clipped inside the image.
-        `steps` (K, 1) is the per-point pitch from `_point_steps`."""
+        `steps` (..., 1) is the per-point pitch from `_point_steps`."""
         half = (self._window - 1) / 2.0 * steps
         lo = jnp.zeros((), jnp.float32)
         hi = jnp.maximum(self._extent - (self._window - 1) * steps, 0.0)

@@ -135,7 +135,7 @@ def test_sample_axis_latency_mode_equivalence(tmp_path):
     from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
 
-    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
+    _, task, variables, data, _ = _make_predict_setup(tmp_path)
     model = task.build_model()
     prior = get_or_fit_prior(data, None)
     sampler = PosteriorShapeModelSampler(prior)

@@ -106,110 +106,80 @@ def build_train(batch):
     return step
 
 
+def _make_view_step(make_task, make_sampler):
+    """Shared setup for the uncertainty-propagation trace modes: synthetic
+    256^2 CAMUS data, a TMI-budget task (t_e=10 x t_a=25) from `make_task`,
+    a sampler from `make_sampler(task, prior, data)`, and a one-view step."""
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor, get_or_fit_prior)
+
+    tmp = tempfile.mkdtemp()
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = make_task(data)
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    sampler = make_sampler(task, prior, data)
+    predictor = AleatoricPredictor(task, model, sampler)
+    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    key = jax.random.key(0)
+
+    def step():
+        out = predictor(variables, view, key)
+        return (out["pred"],)
+
+    return step
+
+
+def _tmi_task(data, cls):
+    return cls(data_params=data.data_params, t_a=25, t_e=10,
+               model_kwargs={"drop_block": True})
+
+
 def build_predict(batch):
     """One jitted uncertainty-propagation view step at the TMI budget
     (t_e=10 x t_a=25, 21 landmarks @ 256^2) — bench.py's secondary metric.
     `batch` is the number of frames (instants) in the view (2)."""
-    import tempfile as _tf
-
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import (
-        AleatoricPredictor, get_or_fit_prior)
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
-    tmp = _tf.mkdtemp()
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-    data = CamusContourData(h5, fold=5)
-    task = DSNTAleatoric(data_params=data.data_params, t_a=25, t_e=10,
-                         model_kwargs={"drop_block": True})
-    model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((2, 1, 256, 256)))
-    prior = get_or_fit_prior(data, None)
-    sampler = PosteriorShapeModelSampler(prior)
-    predictor = AleatoricPredictor(task, model, sampler)
-    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
-    key = jax.random.key(0)
-
-    def step():
-        out = predictor(variables, view, key)
-        return (out["pred"],)
-
-    return step
+    return _make_view_step(
+        lambda data: _tmi_task(data, DSNTAleatoric),
+        lambda task, prior, data: PosteriorShapeModelSampler(prior),
+    )
 
 
 def build_skew(batch):
-    """Skew uncertainty-propagation view step at the TMI budget (t_e=10 x
-    t_a=25, 21 landmarks @ 256^2, grid-product skew sampling + skew umaps) —
-    the MICCAI-headline path. `batch` is frames per view (2)."""
-    import tempfile as _tf
-
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import (
-        AleatoricPredictor, get_or_fit_prior)
+    """Skew uncertainty-propagation view step at the TMI budget (grid-product
+    skew sampling + skew umaps) — the MICCAI-headline path."""
     from contouring_uncertainty_tpu.sampler.psm_skew import (
         SkewPosteriorShapeModelSampler)
     from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
 
-    tmp = _tf.mkdtemp()
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-    data = CamusContourData(h5, fold=5)
-    task = DSNTSkew(data_params=data.data_params, t_a=25, t_e=10,
-                    model_kwargs={"drop_block": True})
-    model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((2, 1, 256, 256)))
-    prior = get_or_fit_prior(data, None)
-    sampler = SkewPosteriorShapeModelSampler(
-        prior, skew_indices=task.skew_indices, image_extent=255.0,
-        grid_window=64)
-    predictor = AleatoricPredictor(task, model, sampler)
-    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
-    key = jax.random.key(0)
-
-    def step():
-        out = predictor(variables, view, key)
-        return (out["pred"],)
-
-    return step
+    return _make_view_step(
+        lambda data: _tmi_task(data, DSNTSkew),
+        lambda task, prior, data: SkewPosteriorShapeModelSampler(
+            prior, skew_indices=task.skew_indices, image_extent=255.0,
+            grid_window=64),
+    )
 
 
 def build_seq(batch):
-    """Sequence (ED<->ES) uncertainty-propagation view step at the TMI budget:
-    Gaussian sequence sampler (fixed 84-dim sequence prior), t_e=10 x t_a=25.
-    `batch` is frames per view (2)."""
-    import tempfile as _tf
-
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import (
-        AleatoricPredictor, get_or_fit_prior, get_or_fit_sequence_prior)
+    """Sequence (ED<->ES) uncertainty-propagation view step at the TMI
+    budget: Gaussian sequence sampler (fixed 84-dim sequence prior)."""
+    from contouring_uncertainty_tpu.predict import get_or_fit_sequence_prior
     from contouring_uncertainty_tpu.sampler.sequence import SequencePSMSampler
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
-    tmp = _tf.mkdtemp()
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-    data = CamusContourData(h5, fold=5)
-    task = DSNTAleatoric(data_params=data.data_params, t_a=25, t_e=10,
-                         model_kwargs={"drop_block": True})
-    model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((2, 1, 256, 256)))
-    prior = get_or_fit_prior(data, None)
-    seq_prior = get_or_fit_sequence_prior(data, None)
-    sampler = SequencePSMSampler(prior, seq_prior)
-    predictor = AleatoricPredictor(task, model, sampler)
-    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
-    key = jax.random.key(0)
-
-    def step():
-        out = predictor(variables, view, key)
-        return (out["pred"],)
-
-    return step
+    return _make_view_step(
+        lambda data: _tmi_task(data, DSNTAleatoric),
+        lambda task, prior, data: SequencePSMSampler(
+            prior, get_or_fit_sequence_prior(data, None)),
+    )
 
 
 def parse_trace(trace_dir, batch):
