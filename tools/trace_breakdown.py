@@ -182,6 +182,37 @@ def build_seq(batch):
     )
 
 
+def build_lung(batch):
+    """JSRT multi-structure uncertainty-propagation view step (120 landmarks,
+    3 structures — right lung / left lung / heart rasterized independently)
+    at the TMI budget. `batch` is frames per view (1 for JSRT)."""
+    from contouring_uncertainty_tpu.data.lung import JSRTContourData, write_jsrt_hdf5
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor, get_or_fit_prior)
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    tmp = tempfile.mkdtemp()
+    h5 = write_jsrt_hdf5(f"{tmp}/jsrt.h5", n_items=12, size=256, seed=3)
+    data = JSRTContourData(h5)
+    task = _tmi_task(data, DSNTAleatoric)
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    sampler = PosteriorShapeModelSampler(prior)
+    predictor = AleatoricPredictor(task, model, sampler,
+                                   contour_groups=data.contour_groups)
+    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    key = jax.random.key(0)
+
+    def step():
+        out = predictor(variables, view, key)
+        return (out["pred"],)
+
+    return step
+
+
 def parse_trace(trace_dir, batch):
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -255,10 +286,11 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         512 if mode == "serve" else
-        2 if mode in ("predict", "skew", "seq") else 64)
+        2 if mode in ("predict", "skew", "seq") else
+        1 if mode == "lung" else 64)
     build = {"serve": build_serve, "train": build_train,
              "predict": build_predict, "skew": build_skew,
-             "seq": build_seq}[mode]
+             "seq": build_seq, "lung": build_lung}[mode]
     step = build(batch)
 
     _sync(step())  # compile + warm
