@@ -222,3 +222,53 @@ def test_skew_normal_rvs_population_matches_reference_rvs_fast():
         c = z - z.mean(0)
         return (c ** 3).mean(0) / (c ** 2).mean(0) ** 1.5
     np.testing.assert_allclose(sk(ours), sk(ref), atol=0.05)
+
+
+def test_projected_uncertainty_matches_reference_source():
+    """Spline-tangent uncertainty projection vs the reference's own
+    uncertainty_projection.py (it nearest-neighbour-searches 1000 dense
+    scipy-spline samples for tangents; we evaluate the fitted spline's
+    derivative at the landmark parameters — same curve, so u agrees to
+    ~1e-3 rel and the projection directions align to ~1e-4)."""
+    ref_proj = pytest.importorskip("contour_uncertainty.utils.uncertainty_projection")
+    from contouring_uncertainty_tpu.utils import projection as P
+
+    rng = np.random.default_rng(3)
+    t_par = np.linspace(0, np.pi, 21)
+    mu = np.stack([128 + 60 * np.cos(t_par), 200 - 120 * np.sin(t_par)], -1)
+    mu = (mu + rng.normal(0, 1.5, mu.shape)).astype(np.float32)
+    cov = np.stack([_rand_cov(rng, scale=3.0) for _ in range(21)]).astype(np.float32)
+
+    u_ref, v_ref = ref_proj.projected_uncertainty(
+        torch.tensor(mu), torch.tensor(cov), all=True)
+    u_ref = np.asarray([float(x) for x in u_ref])
+    v_ref = np.asarray(v_ref, dtype=np.float64)
+    u, v = jax.tree.map(np.asarray,
+                        P.projected_uncertainty(jnp.asarray(mu), jnp.asarray(cov)))
+
+    np.testing.assert_allclose(u, u_ref, rtol=5e-3)
+    cos = np.abs(np.sum(v * v_ref, -1)
+                 / (np.linalg.norm(v, axis=-1) * np.linalg.norm(v_ref, axis=-1)))
+    assert cos.min() > 1 - 1e-4, cos.min()
+
+    # Scalar instant value (sum of projected sigmas, reference :11-14).
+    val_ref = float(ref_proj.projected_uncertainty_value(
+        torch.tensor(mu), torch.tensor(cov)))
+    val = float(P.projected_uncertainty_value(jnp.asarray(mu), jnp.asarray(cov)))
+    np.testing.assert_allclose(val, val_ref, rtol=5e-3)
+
+    # Skew variant: projected alpha must match too (rotate_alpha convention).
+    alpha = rng.normal(0, 2.0, (21, 2)).astype(np.float32)
+    u_ref, v_ref, a_ref = ref_proj.projected_uncertainty(
+        torch.tensor(mu), torch.tensor(cov), alpha=torch.tensor(alpha), all=True)
+    u_s, v_s, a_s = jax.tree.map(np.asarray, P.projected_uncertainty(
+        jnp.asarray(mu), jnp.asarray(cov), alpha=jnp.asarray(alpha)))
+    np.testing.assert_allclose(u_s, np.asarray([float(x) for x in u_ref]), rtol=5e-3)
+    # alpha_proj is SIGNED along the tangent direction, so it inherits the
+    # full sensitivity of the angle difference between our exact spline
+    # derivative and the reference's nearest-of-1000 dense-sample tangent
+    # (u only sees that difference through the (smooth) marginal variance).
+    # ~1e-3 rad of angle difference moves alpha_proj by up to |alpha| * 1e-3
+    # * d(rotation)/d(angle) ~ 0.01-0.05 for |alpha| ~ 4.
+    np.testing.assert_allclose(a_s, np.asarray([float(x) for x in a_ref]),
+                               rtol=0.02, atol=0.05)
