@@ -272,3 +272,67 @@ def test_projected_uncertainty_matches_reference_source():
     # * d(rotation)/d(angle) ~ 0.01-0.05 for |alpha| ~ 4.
     np.testing.assert_allclose(a_s, np.asarray([float(x) for x in a_ref]),
                                rtol=0.02, atol=0.05)
+
+
+def test_psm_posterior_matches_reference_source():
+    """PCA fit + masked posterior conditional vs the reference's own
+    posteriorshapemodel.py (torch). The PCA factor Q is sign/degenerate-
+    subspace ambiguous, so parity is asserted on the invariants: the
+    reconstructed covariance Q Q^T and the posterior (mu_c, cov_c) computed
+    by the REFERENCE formula from OUR Q vs our Q-form and factor-form
+    implementations."""
+    ref_psm = pytest.importorskip(
+        "contour_uncertainty.sampler.posterior_shape_model.posteriorshapemodel")
+    from contouring_uncertainty_tpu.sampler import fit_shape_prior
+    from contouring_uncertainty_tpu.sampler import prior as prior_lib
+
+    rng = np.random.default_rng(11)
+    t_par = np.linspace(0, np.pi, 21)
+    base = np.stack([128 + 60 * np.cos(t_par), 200 - 120 * np.sin(t_par)], -1)
+    contours = np.stack(
+        [base + rng.normal(0, 4.0, base.shape) for _ in range(200)]
+    ).astype(np.float32)
+    x = contours.reshape(200, -1)
+
+    # PCA parity (covariance reconstruction; Q itself is sign-ambiguous).
+    mu_ref, q_ref = ref_psm.pca(torch.tensor(x, dtype=torch.float64))
+    prior = fit_shape_prior(contours)
+    qqt_ref = (q_ref @ q_ref.T).numpy()
+    q_ours = np.asarray(prior.q, np.float64)
+    # Our prior centers X before the PCA (scaler with_std=False), the
+    # reference pca() does its own centering — same cov either way.
+    np.testing.assert_allclose(q_ours @ q_ours.T, qqt_ref, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(prior.train_mean, np.float64) + np.asarray(prior.x_train_mean, np.float64),
+        mu_ref.numpy()[:, 0], atol=1e-3)
+
+    # Posterior conditional parity on identical (mu, Q): reference formula
+    # vs our Q-form and factor-form, masked to the first 3 landmarks.
+    p = 42
+    g_indices = [0, 1, 2, 3, 4, 5]  # first 3 points' coordinates
+    g_mask = np.zeros(p, np.float32)
+    g_mask[g_indices] = 1.0
+    s_obs = (x[0] - x.mean(0)).astype(np.float64)
+    sigma2 = 1.0
+
+    mu_t = torch.tensor(np.zeros((p, 1)))  # transformed space is centered
+    q_t = torch.tensor(np.asarray(prior.q, np.float64))
+    mu_c_ref, cov_c_ref = ref_psm.posterior_shape_model(
+        torch.tensor(s_obs[:, None]), g_indices, mu_t, q_t, sigma2=sigma2)
+    mu_c_ref = mu_c_ref.numpy()[:, 0]
+    cov_c_ref = cov_c_ref.numpy()
+
+    mu_c, cov_c = prior_lib.posterior_shape_model(
+        jnp.asarray(s_obs * g_mask, jnp.float32), jnp.asarray(g_mask),
+        jnp.zeros(p, jnp.float32), jnp.asarray(prior.q), sigma2)
+    np.testing.assert_allclose(np.asarray(mu_c), mu_c_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cov_c), cov_c_ref, atol=2e-3)
+
+    # Factor form (the production path: Gram solves on the fixed factor,
+    # no eigh) must agree with the same reference numbers.
+    f0 = prior_lib.cov_factor(prior)
+    mu_c_f, cov_c_f = prior_lib.posterior_shape_model_factor(
+        jnp.asarray(s_obs * g_mask, jnp.float32), jnp.asarray(g_mask),
+        jnp.zeros(p, jnp.float32), f0, sigma2)
+    np.testing.assert_allclose(np.asarray(mu_c_f), mu_c_ref, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cov_c_f), cov_c_ref, atol=2e-3)
