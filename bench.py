@@ -19,6 +19,9 @@ chip's 2-3x run-to-run bandwidth variance.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -26,6 +29,56 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 10_000.0
+
+# The axon tunnel goes down for hours at a time (observed >7 h); when it is
+# down, the first backend touch hangs ~20 min inside PJRT init before raising
+# UNAVAILABLE, which would leave the round with NO bench artifact at all.
+# Probe in a timeout-bounded subprocess first (CLAUDE.md protocol), wait a
+# bounded time for the tunnel to return, and otherwise fall back to CPU with
+# the output line explicitly marked degraded.
+TPU_PROBE_TIMEOUT_S = int(os.environ.get("BENCH_TPU_PROBE_TIMEOUT_S", "180"))
+TPU_WAIT_BUDGET_S = int(os.environ.get("BENCH_TPU_WAIT_BUDGET_S", "1800"))
+
+
+def _tpu_probe_once() -> bool:
+    """True iff the TPU backend initializes and executes in a subprocess."""
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "assert jax.devices()[0].platform != 'cpu';"
+        "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)));"
+        "print('TPU_OK')"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=TPU_PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "TPU_OK" in res.stdout
+
+
+def _ensure_backend() -> bool:
+    """Wait (bounded) for the TPU; pin CPU if it never comes back.
+
+    Returns True when running on TPU, False on the CPU fallback.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
+    deadline = time.monotonic() + TPU_WAIT_BUDGET_S
+    while True:
+        if _tpu_probe_once():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        print(
+            f"bench: TPU tunnel down, retrying (gives up in {remaining:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(min(90, max(1, remaining)))
+    jax.config.update("jax_platforms", "cpu")
+    return False
 
 
 def _sync(out):
@@ -35,6 +88,8 @@ def _sync(out):
 def main():
     from contouring_uncertainty_tpu.models import UNet
     from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
+
+    on_tpu = _ensure_backend()
 
     model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
                  dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
@@ -48,15 +103,16 @@ def main():
     best = 0.0
     best_batch = 0
     rng = np.random.default_rng(0)
-    for batch in (128, 256, 512):
+    batches = (128, 256, 512) if on_tpu else (4,)
+    iters, windows, warm = (32, 3, 4) if on_tpu else (2, 1, 1)
+    for batch in batches:
         img = jnp.asarray(rng.normal(size=(batch, 1, 256, 256)), jnp.float32)
         try:
             _sync(forward(variables, img))  # compile + warm
         except Exception:
             break
-        iters = 32
-        for _ in range(3):  # best-of-3 windows against run-to-run variance
-            outs = [forward(variables, img) for _ in range(4)]
+        for _ in range(windows):  # best-of windows against run-to-run variance
+            outs = [forward(variables, img) for _ in range(warm)]
             _sync(outs[-1])  # drain
             t0 = time.perf_counter()
             outs = [forward(variables, img) for _ in range(iters)]
@@ -74,6 +130,14 @@ def main():
         "batch": best_batch,
         "device": str(jax.devices()[0]),
     }
+    if not on_tpu:
+        # CPU-fallback numbers are NOT comparable with the TPU baseline; the
+        # driver still gets a well-formed artifact instead of a 20-min hang.
+        # Secondary benches are skipped — flagship-shape training / TMI-budget
+        # predict on host CPU would run for hours.
+        line["degraded"] = "tpu_tunnel_unavailable_cpu_fallback"
+        print(json.dumps(line))
+        return
     try:
         line["predict_views_per_sec"] = round(_bench_predict_pipeline(), 2)
     except Exception as exc:  # secondary metric must not break the headline
