@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
-import sys
 import time
 
 import jax
@@ -40,45 +38,11 @@ TPU_PROBE_TIMEOUT_S = int(os.environ.get("BENCH_TPU_PROBE_TIMEOUT_S", "180"))
 TPU_WAIT_BUDGET_S = int(os.environ.get("BENCH_TPU_WAIT_BUDGET_S", "1800"))
 
 
-def _tpu_probe_once() -> bool:
-    """True iff the TPU backend initializes and executes in a subprocess."""
-    code = (
-        "import jax, numpy as np, jax.numpy as jnp;"
-        "assert jax.devices()[0].platform != 'cpu';"
-        "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)));"
-        "print('TPU_OK')"
-    )
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=TPU_PROBE_TIMEOUT_S,
-        )
-    except subprocess.TimeoutExpired:
-        return False
-    return "TPU_OK" in res.stdout
-
-
 def _ensure_backend() -> bool:
-    """Wait (bounded) for the TPU; pin CPU if it never comes back.
+    from contouring_uncertainty_tpu.utils.backend import ensure_backend
 
-    Returns True when running on TPU, False on the CPU fallback.
-    """
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        return False
-    deadline = time.monotonic() + TPU_WAIT_BUDGET_S
-    while True:
-        if _tpu_probe_once():
-            return True
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            break
-        print(
-            f"bench: TPU tunnel down, retrying (gives up in {remaining:.0f}s)",
-            file=sys.stderr,
-        )
-        time.sleep(min(90, max(1, remaining)))
-    jax.config.update("jax_platforms", "cpu")
-    return False
+    return ensure_backend(wait_budget_s=TPU_WAIT_BUDGET_S,
+                          probe_timeout_s=TPU_PROBE_TIMEOUT_S, label="bench")
 
 
 def _sync(out):
