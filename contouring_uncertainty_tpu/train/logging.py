@@ -3,8 +3,10 @@
 Capability parity with the reference's logger group
 (vital/vital/runner.py:166-196: CometLogger default, TensorBoardLogger
 fallback; figure uploads task/uncertainty.py:100-104). comet_ml and
-tensorboard are optional imports — absent in this environment, the shims
-no-op and everything still lands in CSV/JSONL.
+tensorboard are optional imports; when one is missing the shim no-ops and
+everything still lands in CSV/JSONL. In this environment comet_ml is absent
+(fake-backend tested) while TensorBoard is real — the TB fan-out is verified
+against actual event files (tests/test_tracking_shims.py round-trip).
 """
 
 from __future__ import annotations

@@ -1,10 +1,12 @@
-"""Fake-backend verification of the experiment-tracking shims (VERDICT r2
-missing #2): comet_ml / tensorboard are absent in this environment, so these
-tests inject recording doubles and assert the exact payloads ExperimentLogger
-and resolve_checkpoint would send — converting "code written" into "behavior
-asserted" without any network. Reference contracts:
-vital/vital/runner.py:166-196 (logger fan-out), vital/vital/utils/saving.py:19-96
-(registry download grammar)."""
+"""Verification of the experiment-tracking shims (VERDICT r2 missing #2).
+
+comet_ml is absent in this environment, so the Comet tests inject recording
+doubles and assert the exact payloads ExperimentLogger and resolve_checkpoint
+would send. TensorBoard IS importable here (torch.utils.tensorboard), so the
+TB fan-out is additionally exercised against the REAL backend: events written
+through the shim are read back with tensorboard's EventAccumulator.
+Reference contracts: vital/vital/runner.py:166-196 (logger fan-out),
+vital/vital/utils/saving.py:19-96 (registry download grammar)."""
 
 import sys
 import types
@@ -102,6 +104,46 @@ def test_logger_fans_out_to_comet_and_tensorboard(tmp_path, monkeypatch):
     # And the always-on JSONL/figure artifacts exist regardless of backends.
     assert (tmp_path / "run_metrics.jsonl").read_text().strip()
     assert (tmp_path / "figures" / "val_contours_3.png").exists()
+
+
+def test_logger_real_tensorboard_round_trip(tmp_path):
+    """Exercise the TB shim against the REAL backend (no doubles): scalars
+    and a figure logged through ExperimentLogger must be readable back from
+    the event file tensorboard actually wrote."""
+    pytest.importorskip("torch.utils.tensorboard")
+    pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator")
+
+    from contouring_uncertainty_tpu.train.logging import ExperimentLogger
+
+    logger = ExperimentLogger(tmp_path, "run", use_tensorboard=True)
+    assert logger._tb is not None, "real SummaryWriter should have attached"
+    logger.log_metrics({"train/loss": 1.25, "val/dice": 0.75}, step=2)
+    logger.log_metrics({"train/loss": 0.5}, step=4)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    plt.plot([0, 1], [1, 0])
+    logger.log_figure("val_contours", fig, step=2)
+    plt.close(fig)
+    logger.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "tb"))
+    acc.Reload()
+    loss = {e.step: e.value for e in acc.Scalars("train/loss")}
+    assert loss == {2: pytest.approx(1.25), 4: pytest.approx(0.5)}
+    dice = {e.step: e.value for e in acc.Scalars("val/dice")}
+    assert dice == {2: pytest.approx(0.75)}
+    # add_figure lands in the images tag set.
+    assert any("val_contours" in tag for tag in acc.Tags().get("images", []))
 
 
 def test_logger_backend_failure_falls_back_to_jsonl(tmp_path, monkeypatch):
