@@ -176,6 +176,71 @@ def rvs_consistent(key, mu, cov, alpha, shape=()):
     return _rvs_from_delta(key, mu, cov, delta_vec, shape)
 
 
+def rvs_product(key, mu_f, cov_f, w, mu_ref, shape=()):
+    """Exact draw from the normalized product density
+
+        p(x)  ∝  phi2(x; mu_f, cov_f) · Phi(w^T (x - mu_ref))
+
+    — an *extended skew-normal* (ESN). This is the law the grid-product PSM
+    sampler targets (reference psm_skew.py:44-159 evaluates skew-pdf x
+    posterior-pdf on a 256^2 lattice and draws torch.multinomial): with the
+    two Gaussian factors merged into (mu_f, cov_f) and the whitened skew
+    direction w = Sigma_p^{-1/2} alpha, the remaining Phi factor makes the
+    product exactly an ESN, which admits closed-form sampling — no lattice,
+    no truncation, O(1) transcendentals per draw instead of O(W^2).
+
+    Derivation (selection representation): write x = mu_f + L u with
+    L = chol(cov_f) and u ~ N(0, I) reweighted by Phi(c^T u + tau), where
+    c = L^T w and tau = w^T (mu_f - mu_ref). Augment with v ~ N(0,1):
+    conditioning on  v <= c^T u + tau  reproduces the weight. In the rotated
+    pair (u1 = e^T u with e = c/|c|,  t = (v - |c| u1) / sqrt(1+|c|^2)) the
+    event is {t <= tau_t}, t is standard normal, and corr(u1, t) = rho =
+    -|c|/sqrt(1+|c|^2). So: draw t truncated to (-inf, tau_t] by inverse
+    CDF, then u1 | t ~ N(rho t, 1 - rho^2); the component orthogonal to e
+    stays standard normal. Validated against a dense-lattice categorical
+    draw of the same product (tests/test_distributions.py).
+
+    Tail numerics (f32): Phi(tau_t) is computed in log space; the uniform's
+    product with it is floored at f32-tiny before ndtri, bounding t at
+    ~ -12.9 sigma — error O(0.1) sigma in a region carrying e^-80 of mass
+    (the lattice draw truncated those tails entirely).
+
+    mu_f/cov_f: merged Gaussian (..., 2) / (..., 2, 2); w (..., 2) whitened
+    skew direction; mu_ref (..., 2) the skew factor's location. Returns
+    (*shape, *batch, 2).
+    """
+    from contouring_uncertainty_tpu.distributions.linalg import chol2x2
+
+    kv, kz = jax.random.split(key)
+    batch = jnp.broadcast_shapes(mu_f.shape[:-1], cov_f.shape[:-2],
+                                 w.shape[:-1], mu_ref.shape[:-1])
+    dtype = mu_f.dtype
+    l = chol2x2(cov_f)
+    c0 = l[..., 0, 0] * w[..., 0] + l[..., 1, 0] * w[..., 1]  # c = L^T w
+    c1 = l[..., 1, 1] * w[..., 1]
+    s = jnp.sqrt(c0 * c0 + c1 * c1)
+    tau = jnp.sum(w * (mu_f - mu_ref), axis=-1)
+    denom = jnp.sqrt(1.0 + s * s)
+    rho = -s / denom
+
+    v = jax.random.uniform(kv, (*shape, *batch), dtype=dtype)
+    log_p = jnp.log(jnp.maximum(v, jnp.finfo(dtype).tiny)) \
+        + jax.scipy.special.log_ndtr(tau / denom)
+    t = jax.scipy.special.ndtri(jnp.maximum(jnp.exp(log_p),
+                                            jnp.finfo(dtype).tiny))
+    z = jax.random.normal(kz, (*shape, *batch, 2), dtype=dtype)
+    u1 = rho * t + z[..., 0] / denom  # sqrt(1 - rho^2) = 1/denom
+
+    safe = s > 1e-20
+    s_div = jnp.where(safe, s, 1.0)
+    e0 = jnp.where(safe, c0 / s_div, 1.0)
+    e1 = jnp.where(safe, c1 / s_div, 0.0)
+    ux = e0 * u1 - e1 * z[..., 1]  # u = e u1 + e_perp z2
+    uy = e1 * u1 + e0 * z[..., 1]
+    u = jnp.stack([ux, uy], axis=-1)
+    return mu_f + mat2_vec(l, u)
+
+
 def _rvs_from_delta(key, mu, cov, delta_vec, shape=()):
     k0, k1 = jax.random.split(key)
     batch = jnp.broadcast_shapes(mu.shape[:-1], cov.shape[:-2], delta_vec.shape[:-1])

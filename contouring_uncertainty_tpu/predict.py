@@ -494,6 +494,7 @@ def run_predict(task, variables, data, cfg, split: str = "test",
         skew_indices=getattr(task, "skew_indices", None),
         image_extent=float(max(in_h, in_w) - 1),
         grid_window=task_cfg.get("grid_window", 64),
+        method=task_cfg.get("skew_method", "esn"),
     )
     if sequence:
         from contouring_uncertainty_tpu.sampler.sequence import (

@@ -207,6 +207,106 @@ def posterior_shape_model_factor(
     return mu_c, cov_c
 
 
+class PosteriorOperator(NamedTuple):
+    """Static per-(mask, sigma2) precompute for the Sherman-Morrison
+    posterior (posterior_shape_model_sm). All (P, P), f32 on device, built
+    once on host in f64 by `posterior_operator`."""
+
+    g_mask: jnp.ndarray  # (P,) observation mask M (diag)
+    k0: jnp.ndarray  # inv(sigma2 I + (M F0)(M F0)^T)  — exact f64 inverse
+    mc0: jnp.ndarray  # M C0
+    h0: jnp.ndarray  # K0 (M C0)
+    c0: jnp.ndarray  # F0 F0^T
+
+
+def posterior_operator(f0, g_mask, sigma2: float) -> PosteriorOperator:
+    """Host-side f64 precompute of the static part of the masked-conditional
+    solve for a FIXED factor f0 and observation mask.
+
+    The per-prediction refit appends one column d to f0 (refit_factor), so
+    the solve system is S = S0 + (M d)(M d)^T with S0 = sigma2 I +
+    (M F0)(M F0)^T **static** — invert S0 once in f64 here and apply
+    Sherman-Morrison per prediction/sample (posterior_shape_model_sm). This
+    removes every per-sample Cholesky/triangular-solve custom call from the
+    sampler hot paths (round-3 trace: 60 batched LAPACK custom calls = 42
+    ms/view, 43% of the sequence predict step). It also needs no escalating
+    jitter: there is no f32 factorization left to break — S0's inverse is
+    exact, and the rank-1 update divides by beta = 1 + u^T K0 u >= 1.
+    """
+    f0 = np.asarray(f0, np.float64)
+    m = np.asarray(g_mask, np.float64)
+    p = f0.shape[0]
+    c0 = f0 @ f0.T
+    fg = f0 * m[:, None]
+    s0 = float(sigma2) * np.eye(p) + fg @ fg.T
+    k0 = np.linalg.inv(s0)
+    mc0 = c0 * m[:, None]
+    h0 = k0 @ mc0
+    return PosteriorOperator(
+        g_mask=jnp.asarray(m, jnp.float32),
+        k0=jnp.asarray(k0, jnp.float32),
+        mc0=jnp.asarray(mc0, jnp.float32),
+        h0=jnp.asarray(h0, jnp.float32),
+        c0=jnp.asarray(c0, jnp.float32),
+    )
+
+
+def _hp(a, b):
+    """Small-matrix product at HIGHEST precision: the posterior difference
+    C - (MC)^T S^-1 (MC) cancels catastrophically for OOD predictions, and
+    TPU default-precision f32 matmuls run bf16 passes (CLAUDE.md trap)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def posterior_shape_model_sm(
+    s_g_t: jnp.ndarray,
+    mu_t: jnp.ndarray,
+    d: Optional[jnp.ndarray],
+    op: PosteriorOperator,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked conditional shape distribution via Sherman-Morrison on the
+    static operator `op` (posterior_operator) — algebraically identical to
+    posterior_shape_model_factor with f = [F0|d] (equivalence asserted in
+    tests/test_sampler.py), but with zero linear-algebra custom calls:
+
+        S     = S0 + u u^T,  u = M d
+        S^-1  = K0 - (K0 u)(K0 u)^T / (1 + u^T K0 u)
+        mu_c  = mu + (M C)^T S^-1 (s_g - mu)_g,   M C = M C0 + u d^T
+        cov_c = C - (M C)^T S^-1 (M C),           C = C0 + d d^T
+
+    `d = None` means no refit column (fixed-prior posterior, e.g. the plain
+    sequence sampler's Q-form).
+
+    Accuracy contract (tests/test_sampler.py SM test): mu_c matches the f32
+    factor form at every sigma (and beats it by ~4 orders of magnitude when
+    d is None — the base inverse is f64-exact where the f32 Cholesky at
+    cond ~1e6 loses digits). cov_c is accurate at the level sigmas (~1.0)
+    but degrades by ~beta = 1 + u^T K0 u ULPs of cancellation at the tiny
+    fill sigma when d is present — every sampler consumes only mu_c from
+    the fill step, so keep it that way.
+    """
+    resid = (s_g_t - mu_t) * op.g_mask
+    if d is None:
+        mu_c = mu_t + _hp(op.h0.T, resid)
+        cov_c = op.c0 - _hp(op.mc0.T, op.h0)
+        return mu_c, cov_c
+    u = op.g_mask * d
+    v = _hp(op.k0, u)
+    beta = 1.0 + jnp.sum(u * v)
+    sinv = op.k0 - v[:, None] * v[None, :] / beta
+    mc = op.mc0 + u[:, None] * d[None, :]
+    half = _hp(sinv, mc)  # S^-1 (M C)
+    mu_c = mu_t + _hp(half.T, resid)
+    cov_c = op.c0 + d[:, None] * d[None, :] - _hp(mc.T, half)
+    return mu_c, cov_c
+
+
+def refit_d(prior: ShapePrior, pred_flat_t: jnp.ndarray) -> jnp.ndarray:
+    """The per-prediction refit column d with C = Cov0 + d d^T (the vector
+    refit_factor appends to F0)."""
+    return prior.x_train_mean - pred_flat_t
+
+
 def posterior_shape_model(
     s_g_t: jnp.ndarray,
     g_mask: jnp.ndarray,

@@ -11,15 +11,17 @@ posterior mean.
 TPU-first redesign (SURVEY §2.6 #2): the reference loops
 `for sample: for level: for point:` in Python with a fresh
 `torch.linalg.eig` PCA re-fit per image. Here:
-- the PCA re-fit appends one column to a fixed factor of cov0
-  (prior.py:refit_factor) and the conditioning solves a numerically-PSD
-  Gram system (no per-prediction eigh at all —
-  prior.py:posterior_shape_model_factor);
+- the PCA re-fit appends one rank-1 column d to a fixed factor of cov0
+  (prior.py:refit_d), so each level's solve is Sherman-Morrison over a
+  STATIC f64-precomputed base inverse (prior.py:posterior_operator) — no
+  per-prediction eigh and no Cholesky/solve custom calls anywhere in the
+  sampler (round-3 trace: the batched LAPACK custom calls were 43% of the
+  sequence predict step);
 - level structure (point order, observation masks) is static, precomputed at
   construction;
-- one sample is a fixed sequence of 3-4 masked Cholesky solves; samples and
-  batch are vmapped, so the whole (N, T_e, T_a) population is one XLA
-  computation.
+- one sample is a fixed sequence of 3-4 masked rank-1-updated conditionals;
+  samples and batch are vmapped, so the whole (N, T_e, T_a) population is
+  one XLA computation.
 """
 
 from __future__ import annotations
@@ -107,17 +109,28 @@ class PosteriorShapeModelSampler:
         # Fixed full-rank factor of cov0 for the factor-form posterior
         # (prior.py:cov_factor — Gram-PSD solves, no per-prediction eigh).
         self._f0 = prior_lib.cov_factor(prior)
+        # Static Sherman-Morrison operators per level (+ fill): the refit
+        # only adds a rank-1 column, so the solve system's base inverse is
+        # precomputed here in f64 and the samplers run with ZERO
+        # linear-algebra custom calls (prior.py:posterior_operator).
+        f0_np = np.asarray(self._f0)
+        self._ops = [
+            prior_lib.posterior_operator(f0_np, np.asarray(m), s)
+            for m, s in zip(self._level_masks, self.sigmas)
+        ]
+        self._op_final = prior_lib.posterior_operator(
+            f0_np, np.asarray(self._final_mask), self.fill_sigma)
 
     # ------------------------------------------------------------------ sampling
 
-    def _posterior_points(self, contour, g_mask, mu_t, f, sigma2):
+    def _posterior_points(self, contour, op, mu_t, d):
         """Posterior (mu_c (K,2), cov_c (K,2,2)) in pixel space given the
         currently sampled contour (unsampled entries are zeros, masked out).
-        `f` is the re-fit covariance factor [F0|d] (prior.refit_factor) —
-        the factor-form posterior needs no per-prediction eigh and its solve
-        system is a numerically-PSD Gram."""
+        `op` is the level's static Sherman-Morrison operator and `d` the
+        per-prediction refit column (prior.refit_d) — no per-prediction eigh
+        and no Cholesky custom calls anywhere."""
         s_g_t = prior_lib.transform(self.prior, contour).reshape(-1)
-        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_factor(s_g_t, g_mask, mu_t, f, sigma2)
+        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_sm(s_g_t, mu_t, d, op)
         mu_c = prior_lib.inverse_transform(
             self.prior, mu_c_t.reshape(self.k, 2)
         )
@@ -135,7 +148,7 @@ class PosteriorShapeModelSampler:
         cov_c = sym_matrix_pow(cov_c, 1.0, eps=1e-6)
         return mu_c, cov_c
 
-    def _sample_one(self, key, mu_p, cov_p, alpha_p, mu_t, c):
+    def _sample_one(self, key, mu_p, cov_p, alpha_p, mu_t, d):
         """One contour sample (K, 2). All shapes static."""
         keys = jax.random.split(key, len(self._level_points) + 1)
         contour = jnp.zeros_like(mu_p)
@@ -152,7 +165,7 @@ class PosteriorShapeModelSampler:
 
         for i, points in enumerate(self._level_points):
             mu_c, cov_c = self._posterior_points(
-                contour, self._level_masks[i], mu_t, c, self.sigmas[i]
+                contour, self._ops[i], mu_t, d
             )
             mu_f, cov_f = merge_priors(mu_p, cov_p, mu_c, cov_c)
             s = bvn.rvs(keys[i + 1], mu_f, cov_f)
@@ -160,7 +173,7 @@ class PosteriorShapeModelSampler:
             contour = jnp.where(lvl_mask[:, None], s, contour)
 
         # Fill the remaining points from the posterior mean (sigma2 -> 0).
-        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, c, self.fill_sigma)
+        mu_c, _ = self._posterior_points(contour, self._op_final, mu_t, d)
         contour = jnp.where(self._sampled_all[:, None] > 0, contour, mu_c)
         return contour
 
@@ -168,12 +181,12 @@ class PosteriorShapeModelSampler:
                  alpha: Optional[jnp.ndarray] = None, n: int = 1) -> jnp.ndarray:
         """Sample n contours for one prediction. mu (K,2), cov (K,2,2) -> (n,K,2)."""
         mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
-        _, c = prior_lib.refit_factor(self.prior, self._f0, mu_t)
+        d = prior_lib.refit_d(self.prior, mu_t)
         keys = jax.random.split(key, n)
         if alpha is None:
-            fn = lambda k: self._sample_one(k, mu, cov, None, mu_t, c)
+            fn = lambda k: self._sample_one(k, mu, cov, None, mu_t, d)
         else:
-            fn = lambda k: self._sample_one(k, mu, cov, alpha, mu_t, c)
+            fn = lambda k: self._sample_one(k, mu, cov, alpha, mu_t, d)
         return jax.vmap(fn)(keys)
 
     def sample_batch(self, key: jax.Array, mu: jnp.ndarray, cov: jnp.ndarray,

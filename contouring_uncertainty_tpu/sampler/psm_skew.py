@@ -8,20 +8,30 @@ skew-normal pdf and the PSM posterior Gaussian evaluated on a 256x256 grid
 (categorical draw), while non-skew points use the Gaussian product fusion;
 remaining points fill from the posterior mean.
 
-TPU-first (SURVEY §2.6 #3): the grid product is computed in log space for all
-S skew points at once ((S, W^2) logits + one categorical per point, a static
-gather at skew_indices — skew5/skew9 configs pay 5/21 or 9/21 of the full
-grid work) and the whole (samples x batch) population vmaps — the reference
-looped points x samples in Python with torch.multinomial per point and a
-try/except fallback to mu.
+TPU-first (SURVEY §2.6 #3): two methods, both fully vmapped over
+(samples x batch) — the reference looped points x samples in Python with
+torch.multinomial per point and a try/except fallback to mu.
 
-The categorical runs over a WINDOW of the pixel grid (default 64x64, same
-integer cell centers as the reference's full 256x256 grid) centered on the
-Gaussian-product fusion mean of each point: the product's mass lives within
-a few sigma of that center (posterior sigmas are a handful of pixels), so
-the truncated tails carry ~e^-hundreds of probability while the per-sample
-grid work drops 16x (profiled 362 -> 273 ms/view at the TMI predict budget).
-Set grid_window=grid_size to recover the exact full-grid draw.
+- ``method="esn"`` (default): the product of the predicted skew-normal and
+  the posterior Gaussian is itself an *extended skew-normal* (merge the two
+  Gaussian factors; the leftover Phi term is an ESN tilt), which
+  bsn.rvs_product draws EXACTLY in closed form via a truncated-normal
+  latent — no lattice, no window, no tail truncation, O(1) transcendentals
+  per point instead of O(W^2) lattice evaluations (round-3 trace: the grid
+  categorical alone cost 17 ms/view at the TMI budget). Distributional
+  equivalence with the grid draw is gated by
+  tests/test_skew_sequence_samplers.py::test_esn_matches_grid_product.
+- ``method="grid"``: reference-parity lattice draw — the grid product is
+  computed in log space for all S skew points at once ((S, W^2) logits +
+  one categorical per point, a static gather at skew_indices — skew5/skew9
+  configs pay 5/21 or 9/21 of the full grid work). The categorical runs
+  over a WINDOW of the pixel grid (default 64x64, same integer cell centers
+  as the reference's full 256x256 grid) centered on the Gaussian-product
+  fusion mean of each point: the product's mass lives within a few sigma of
+  that center (posterior sigmas are a handful of pixels), so the truncated
+  tails carry ~e^-hundreds of probability while the per-sample grid work
+  drops 16x (profiled 362 -> 273 ms/view at the TMI predict budget). Set
+  grid_window=grid_size to recover the exact full-grid draw.
 """
 
 from __future__ import annotations
@@ -32,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contouring_uncertainty_tpu.distributions import bsn, bvn
+from contouring_uncertainty_tpu.distributions import bsn, bvn, linalg
 from contouring_uncertainty_tpu.sampler import prior as prior_lib
 from contouring_uncertainty_tpu.sampler.prior import ShapePrior
 from contouring_uncertainty_tpu.sampler.psm import PosteriorShapeModelSampler, merge_priors
@@ -42,8 +52,12 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
     def __init__(self, prior: ShapePrior, levels: int = 3,
                  skew_indices: Optional[List[int]] = None,
                  grid_size: int = 256, image_extent: float = 255.0,
-                 grid_window: Optional[int] = 64, **kwargs):
+                 grid_window: Optional[int] = 64, method: str = "esn",
+                 **kwargs):
+        if method not in ("esn", "grid"):
+            raise ValueError(f"method must be 'esn' or 'grid', got {method!r}")
         super().__init__(prior, levels=levels, **kwargs)
+        self._method = method
         skew_indices = list(range(self.k)) if skew_indices is None else list(skew_indices)
         # Static positions of the skew points: the grid-product categorical
         # (the expensive part — (S, W^2) fused logpdf evals per level) only
@@ -76,7 +90,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
             w = min(max(needed, 32), int(grid_size))
         else:
             w = min(int(grid_window), int(grid_size))
-            if w < min(needed, int(grid_size)):
+            if w < min(needed, int(grid_size)) and method == "grid":
                 import warnings
 
                 warnings.warn(
@@ -129,7 +143,7 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         snapped = jnp.round((centers - half) / self._step) * self._step
         return jnp.clip(snapped, lo, hi)
 
-    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, c):
+    def _sample_one_skew(self, key, mu_p, cov_p, alpha_f, mu_t, d):
         keys = jax.random.split(key, 2 * len(self._level_points) + 1)
         contour = jnp.zeros_like(mu_p)
 
@@ -139,39 +153,57 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
 
         for i, points in enumerate(self._level_points):
             mu_c, cov_c = self._posterior_points(
-                contour, self._level_masks[i], mu_t, c, self.sigmas[i]
+                contour, self._ops[i], mu_t, d
             )
             # Gaussian path (non-skew points).
             mu_fuse, cov_fuse = merge_priors(mu_p, cov_p, mu_c, cov_c)
             s_gauss = bvn.rvs(keys[2 * i + 1], mu_fuse, cov_fuse)
-            # Grid-product path (skew points only — static gather at
-            # self._skew_idx): categorical over a pixel-grid window around
-            # each point's fusion mean. The window coordinates are
-            # (re)derived inside the fused logpdf computation and the drawn
-            # point is reconstructed from the index arithmetically —
-            # materializing an (S, W^2, 2) grid tensor would batch to tens
-            # of GB under the (T_e x T_a) sample vmaps.
+            # Skew-product path (skew points only — static gather at
+            # self._skew_idx). The target law is the product of the predicted
+            # skew-normal and the PSM posterior Gaussian; with the Gaussian
+            # factors merged (mu_fuse, cov_fuse, already computed above) it
+            # is exactly an extended skew-normal, so the default 'esn' method
+            # draws it in closed form (bsn.rvs_product — O(1) transcendentals
+            # per point instead of a W^2-cell lattice; round-3 trace: the
+            # grid categorical cost 17 ms/view at the TMI budget).
             si = self._skew_idx
-            steps = self._point_steps(cov_fuse[si])  # (S, 1) adaptive pitch
-            offs = self._window_offsets(mu_fuse[si], steps)  # (S, 2)
+            if self._method == "esn":
+                w = linalg.mat2_vec(
+                    linalg.sym_matrix_pow(cov_p[si], -0.5), alpha_f[si]
+                )  # whitened skew direction Sigma^{-1/2} alpha (bsn.logpdf)
+                s_skew = bsn.rvs_product(
+                    keys[2 * i + 2], mu_fuse[si], cov_fuse[si], w, mu_p[si]
+                )
+            else:
+                # 'grid': reference-parity categorical over a pixel-grid
+                # window around each point's fusion mean. The window
+                # coordinates are (re)derived inside the fused logpdf
+                # computation and the drawn point is reconstructed from the
+                # index arithmetically — materializing an (S, W^2, 2) grid
+                # tensor would batch to tens of GB under the (T_e x T_a)
+                # sample vmaps.
+                steps = self._point_steps(cov_fuse[si])  # (S, 1) pitch
+                offs = self._window_offsets(mu_fuse[si], steps)  # (S, 2)
 
-            def point_logits(off, st, m, c, a, mc, cc):
-                g = off[None, :] + self._wgrid * st  # (W^2, 2), fused interm.
-                return bsn.logpdf(g, m, c, a) + bvn.logpdf(g, mc, cc)
+                def point_logits(off, st, m, c, a, mc, cc):
+                    g = off[None, :] + self._wgrid * st  # (W^2, 2) fused
+                    return bsn.logpdf(g, m, c, a) + bvn.logpdf(g, mc, cc)
 
-            logits = jax.vmap(point_logits)(
-                offs, steps, mu_p[si], cov_p[si], alpha_f[si],
-                mu_c[si], cov_c[si]
-            )  # (S, W^2)
-            idx = jax.random.categorical(keys[2 * i + 2], logits, axis=-1)  # (S,)
-            sub = jnp.stack([idx // self._window, idx % self._window], axis=-1)
-            s_skew = offs + sub.astype(offs.dtype) * steps
+                logits = jax.vmap(point_logits)(
+                    offs, steps, mu_p[si], cov_p[si], alpha_f[si],
+                    mu_c[si], cov_c[si]
+                )  # (S, W^2)
+                idx = jax.random.categorical(
+                    keys[2 * i + 2], logits, axis=-1)  # (S,)
+                sub = jnp.stack(
+                    [idx // self._window, idx % self._window], axis=-1)
+                s_skew = offs + sub.astype(offs.dtype) * steps
             s = s_gauss.at[si].set(s_skew)
 
             lvl_mask = jnp.zeros(self.k, bool).at[points].set(True)
             contour = jnp.where(lvl_mask[:, None], s, contour)
 
-        mu_c, _ = self._posterior_points(contour, self._final_mask, mu_t, c, self.fill_sigma)
+        mu_c, _ = self._posterior_points(contour, self._op_final, mu_t, d)
         return jnp.where(self._sampled_all[:, None] > 0, contour, mu_c)
 
     def __call__(self, key: jax.Array, mu: jnp.ndarray, cov: jnp.ndarray,
@@ -180,10 +212,10 @@ class SkewPosteriorShapeModelSampler(PosteriorShapeModelSampler):
         # Reference flips the y component once up front (psm_skew.py:231).
         alpha_f = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
         mu_t = prior_lib.transform(self.prior, mu).reshape(-1)
-        _, c = prior_lib.refit_factor(self.prior, self._f0, mu_t)
+        d = prior_lib.refit_d(self.prior, mu_t)
         keys = jax.random.split(key, n)
         return jax.vmap(
-            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, c)
+            lambda k: self._sample_one_skew(k, mu, cov, alpha_f, mu_t, d)
         )(keys)
 
     def sample_batch(self, key, mu, cov, alpha=None, n: int = 1):

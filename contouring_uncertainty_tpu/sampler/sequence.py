@@ -46,8 +46,24 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
         super().__init__(prior, levels=levels, **kw)
         self.seq_prior = seq_prior
         self._mask0, self._mask1 = _instant_masks(self.k)
+        # Static Sherman-Morrison operators for the two possible observation
+        # masks (first instant = ED or ES); the skew variant's per-view refit
+        # is the rank-1 d column (prior.py:posterior_operator — removes the
+        # per-sample batched Cholesky custom calls that were 43% of the
+        # sequence view step in the round-3 trace).
+        base = np.asarray(self._seq_base_factor())
+        self._seq_ops = (
+            prior_lib.posterior_operator(base, np.asarray(self._mask0), 1.0),
+            prior_lib.posterior_operator(base, np.asarray(self._mask1), 1.0),
+        )
 
-    def _sequence_posterior(self, s_first, first_is_0, seq_mu_t, seq_f):
+    def _seq_base_factor(self):
+        """Fixed factor of the sequence prior's covariance: the PCA factor Q
+        for the Gaussian variant (exactly the reference's Q-form posterior,
+        Q Q^T = cov0)."""
+        return self.seq_prior.q
+
+    def _sequence_posterior(self, s_first, first_is_0, seq_mu_t, seq_d):
         """84-dim posterior conditioned on the first instant's contour.
 
         Returns per-instant (mu_c (2, K, 2), cov_c (2, K, 2, 2))."""
@@ -58,9 +74,11 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
             jnp.concatenate([jnp.zeros(2 * k), s_first.reshape(-1)]),
         )
         s_t = (s_full - self.seq_prior.train_mean) / self.seq_prior.train_scale
-        g_mask = jnp.where(first_is_0, self._mask0, self._mask1)
-        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_factor(
-            s_t * g_mask, g_mask, seq_mu_t, seq_f, 1.0
+        op = jax.tree.map(
+            lambda a, b: jnp.where(first_is_0, a, b), *self._seq_ops
+        )
+        mu_c_t, cov_c_t = prior_lib.posterior_shape_model_sm(
+            s_t, seq_mu_t, seq_d, op
         )
         mu_c = (mu_c_t * self.seq_prior.train_scale + self.seq_prior.train_mean).reshape(2, k, 2)
         scale = self.seq_prior.train_scale
@@ -75,9 +93,10 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
         return mu_c, cov_c
 
     def _seq_params(self, mu):
-        """Sequence-prior (mu_t, factor): the fixed PCA factor Q for the
-        Gaussian variant (exactly the reference's Q-form posterior)."""
-        return self.seq_prior.mean_shape, self.seq_prior.q
+        """Sequence-prior (mu_t, refit column d): d is None for the Gaussian
+        variant (fixed prior — the reference comments out the re-fit,
+        sequence_sampler.py:81-84)."""
+        return self.seq_prior.mean_shape, None
 
     def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_f):
         """One (2, K, 2) sequence sample."""
@@ -86,8 +105,8 @@ class SequencePSMSampler(PosteriorShapeModelSampler):
 
         def one_instant(kk, m, c, a):
             mu_t = prior_lib.transform(self.prior, m).reshape(-1)
-            _, rf = prior_lib.refit_factor(self.prior, self._f0, mu_t)
-            return self._sample_one(kk, m, c, a, mu_t, rf)
+            return self._sample_one(kk, m, c, a, mu_t,
+                                    prior_lib.refit_d(self.prior, mu_t))
 
         mu_first = jnp.where(first_is_0, mu[0], mu[1])
         cov_first = jnp.where(first_is_0, cov[0], cov[1])
@@ -130,15 +149,19 @@ class SequenceSkewPSMSampler(SequencePSMSampler):
         super().__init__(prior, seq_prior, levels=levels)
         self._skew = SkewPosteriorShapeModelSampler(prior, levels=levels,
                                                     skew_indices=skew_indices, **skew_kw)
-        # Fixed factor of the sequence prior's cov0 for the per-prediction
-        # factor-form re-fit (prior.py:cov_factor).
-        self._seq_f0 = prior_lib.cov_factor(seq_prior)
+
+    def _seq_base_factor(self):
+        """Floored full-rank factor of the sequence prior's cov0: the skew
+        variant re-fits the sequence PCA around the prediction
+        (psm_skew_sequence.py:68) — the refit is the rank-1 d column from
+        _seq_params on top of this fixed factor."""
+        return prior_lib.cov_factor(self.seq_prior)
 
     def _seq_params(self, mu):
         seq_pred_t = (
             (mu.reshape(-1) - self.seq_prior.train_mean) / self.seq_prior.train_scale
         )
-        return prior_lib.refit_factor(self.seq_prior, self._seq_f0, seq_pred_t)
+        return seq_pred_t, prior_lib.refit_d(self.seq_prior, seq_pred_t)
 
     def _sample_pair(self, key, mu, cov, alpha, seq_mu_t, seq_f):
         k_inst, k_first, k_second = jax.random.split(key, 3)

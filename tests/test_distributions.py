@@ -217,3 +217,66 @@ def test_bsn_rvs_consistent_matches_logpdf_mean():
     dz = alpha / np.sqrt(1 + alpha @ alpha)
     expected = mu + np.sqrt(2 / np.pi) * sqrt_cov @ dz
     np.testing.assert_allclose(s.mean(0), expected, atol=0.03)
+
+
+def test_bsn_rvs_product_matches_dense_oracle():
+    """rvs_product draws p(x) ∝ phi2(x; mu_f, cov_f) Phi(w^T (x - mu_ref))
+    exactly (extended skew-normal via a truncated-normal latent). Oracle: a
+    dense-lattice categorical draw of the same density with numpy/scipy —
+    mean, covariance, and per-axis skewness must agree to MC tolerance."""
+    rng = np.random.default_rng(0)
+    mu_p = np.array([-0.4, 0.3])
+    cov_p = np.array([[1.3, 0.4], [0.4, 0.9]])
+    mu_g = np.array([0.2, -0.1])
+    cov_g = np.array([[0.8, -0.2], [-0.2, 1.1]])
+    alpha = np.array([2.5, -1.5])
+
+    # Merge the Gaussian factors; whitened skew direction w = cov_p^{-1/2} a.
+    w = np.linalg.inv(scipy.linalg.fractional_matrix_power(cov_p, 0.5).real) @ alpha
+    p1, p2 = np.linalg.inv(cov_p), np.linalg.inv(cov_g)
+    cov_f = np.linalg.inv(p1 + p2)
+    mu_f = cov_f @ (p1 @ mu_p + p2 @ mu_g)
+
+    # Dense-lattice reference draw.
+    g = np.linspace(-6, 6, 300)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], -1)
+    d = pts - mu_f
+    logits = (
+        -0.5 * np.einsum("ni,ij,nj->n", d, np.linalg.inv(cov_f), d)
+        + scipy_norm.logcdf(pts @ w - w @ mu_p)
+    )
+    prob = np.exp(logits - logits.max())
+    prob /= prob.sum()
+    n = 100_000
+    idx = rng.choice(len(pts), size=n, p=prob)
+    cell = g[1] - g[0]
+    ref = pts[idx] + rng.uniform(-cell / 2, cell / 2, size=(n, 2))
+
+    s = np.asarray(bsn.rvs_product(
+        jax.random.key(3), jnp.asarray(mu_f, jnp.float32),
+        jnp.asarray(cov_f, jnp.float32), jnp.asarray(w, jnp.float32),
+        jnp.asarray(mu_p, jnp.float32), shape=(n,),
+    ))
+    assert np.isfinite(s).all()
+    np.testing.assert_allclose(s.mean(0), ref.mean(0), atol=0.02)
+    np.testing.assert_allclose(np.cov(s.T), np.cov(ref.T), atol=0.03)
+
+    def skewness(x):
+        dd = x - x.mean(0)
+        return (dd**3).mean(0) / x.std(0) ** 3
+
+    np.testing.assert_allclose(skewness(s), skewness(ref), atol=0.06)
+
+
+def test_bsn_rvs_product_zero_skew_is_gaussian():
+    """w = 0 must reduce rvs_product to a plain N(mu_f, cov_f) draw."""
+    mu_f = np.array([1.0, -2.0])
+    cov_f = np.array([[2.0, 0.7], [0.7, 1.4]])
+    s = np.asarray(bsn.rvs_product(
+        jax.random.key(5), jnp.asarray(mu_f, jnp.float32),
+        jnp.asarray(cov_f, jnp.float32), jnp.zeros(2, jnp.float32),
+        jnp.zeros(2, jnp.float32), shape=(40_000,),
+    ))
+    np.testing.assert_allclose(s.mean(0), mu_f, atol=0.03)
+    np.testing.assert_allclose(np.cov(s.T), cov_f, atol=0.05)

@@ -101,6 +101,73 @@ def test_posterior_factor_form_matches_q_form_and_stays_finite():
     assert bool(jnp.isfinite(cov_c).all())
 
 
+def test_posterior_sherman_morrison_matches_factor_form():
+    """The Sherman-Morrison posterior (static f64 base inverse + rank-1
+    refit, the samplers' hot path since round 3 — zero LA custom calls)
+    must agree with the factor-form Gram solve on [F0|d] for healthy
+    refits, stay finite for OOD-huge refits at the fill sigma, and with
+    d=None reproduce the fixed-prior (Q-form) posterior."""
+    contours = _train_contours(100)
+    prior = fit_shape_prior(contours)
+    p = prior.dim
+    f0 = prior_lib.cov_factor(prior)
+    mask = np.zeros(p, np.float32)
+    mask[: p // 2] = 1.0
+    rng = np.random.default_rng(3)
+    s_g = jnp.asarray(rng.normal(size=p).astype(np.float32))
+    mu_t = jnp.asarray(prior.x_train_mean)
+
+    def oracle(d_np, sigma2):
+        """f64 reference of the masked conditional with C = C0 + d d^T."""
+        f64 = np.asarray(f0, np.float64)
+        m = mask.astype(np.float64)
+        c = f64 @ f64.T
+        if d_np is not None:
+            c = c + np.outer(d_np, d_np)
+        s0 = sigma2 * np.eye(p) + (
+            (f64 * m[:, None]) @ (f64 * m[:, None]).T
+            + (0 if d_np is None else np.outer(m * d_np, m * d_np))
+        )
+        resid = (np.asarray(s_g, np.float64) - np.asarray(mu_t, np.float64)) * m
+        half = np.linalg.solve(s0, c * m[:, None])
+        return (np.asarray(mu_t, np.float64) + half.T @ resid,
+                c - (c * m[:, None]).T @ half)
+
+    for sigma2 in (1.0, 1e-3):
+        op = prior_lib.posterior_operator(np.asarray(f0), mask, sigma2)
+        # d = None == fixed prior. The f64-precomputed base inverse makes the
+        # SM form far MORE accurate than the f32-Cholesky factor form at the
+        # fill sigma (measured 1.6e-6 vs 1.9e-2 abs mu error at cond ~1e6),
+        # so the gate is the f64 oracle, not the noisier factor path.
+        mu_sm, cov_sm = prior_lib.posterior_shape_model_sm(s_g, mu_t, None, op)
+        ref_mu, ref_cov = oracle(None, sigma2)
+        np.testing.assert_allclose(np.asarray(mu_sm), ref_mu, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cov_sm), ref_cov, atol=1e-4)
+
+        # Healthy refit column. Accuracy contract (prior.py docstring): the
+        # MEAN is factor-form-accurate at every sigma; the COV is asserted
+        # only at the level sigma (1.0) — at the fill sigma the rank-1
+        # cancellation costs ~beta ULPs and every caller discards the fill
+        # cov (`mu_c, _ = _posterior_points(..., fill)`).
+        pred_t = mu_t + jnp.asarray(rng.normal(size=p).astype(np.float32)) * 0.1
+        d = prior_lib.refit_d(prior, pred_t)
+        mu_sm, cov_sm = prior_lib.posterior_shape_model_sm(s_g, mu_t, d, op)
+        ref_mu, ref_cov = oracle(np.asarray(d, np.float64), sigma2)
+        np.testing.assert_allclose(np.asarray(mu_sm), ref_mu, atol=2e-2)
+        if sigma2 == 1.0:
+            np.testing.assert_allclose(np.asarray(mu_sm), ref_mu, atol=5e-4)
+            np.testing.assert_allclose(np.asarray(cov_sm), ref_cov, atol=5e-3)
+
+    # OOD robustness: a refit column ~500x the prior scale with the fill
+    # sigma must stay finite (no factorization exists to NaN).
+    op = prior_lib.posterior_operator(np.asarray(f0), mask, 1e-3)
+    pred_t = mu_t + 500.0
+    mu_sm, cov_sm = prior_lib.posterior_shape_model_sm(
+        pred_t * jnp.asarray(mask), pred_t, prior_lib.refit_d(prior, pred_t), op)
+    assert bool(jnp.isfinite(mu_sm).all())
+    assert bool(jnp.isfinite(cov_sm).all())
+
+
 def test_refit_q_reconstructs_noncentered_covariance():
     contours = _train_contours(200)
     prior = fit_shape_prior(contours)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from contouring_uncertainty_tpu.sampler import fit_shape_prior
 from contouring_uncertainty_tpu.sampler.psm_skew import SkewPosteriorShapeModelSampler
@@ -69,7 +70,8 @@ def test_skew_subset_matches_gaussian_psm_with_zero_alpha():
     prior = fit_shape_prior(contours)
     subset = [0, 5, 10, 15, 20]
     skew = SkewPosteriorShapeModelSampler(
-        prior, skew_indices=subset, grid_size=256, grid_window=None)
+        prior, skew_indices=subset, grid_size=256, grid_window=None,
+        method="grid")
     gauss = PosteriorShapeModelSampler(prior)
     mu = jnp.asarray(contours[2], jnp.float32)
     cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
@@ -93,7 +95,45 @@ def test_skew_subset_matches_gaussian_psm_with_zero_alpha():
     assert rel.max() < 0.25, f"max std rel diff {rel.max():.2f}"
 
 
-def test_windowed_vs_full_grid_equivalence():
+_GRID_N = 512
+
+
+@pytest.fixture(scope="module")
+def grid_reference():
+    """One shared full-grid (reference-exact) skew population: the 128^2
+    full-lattice compile + draw is by far the most expensive piece of this
+    file, and both equivalence tests (windowed and ESN) compare against the
+    same law — build it once."""
+    contours = _train_contours()
+    prior = fit_shape_prior(contours)
+    mu = jnp.asarray(contours[5], jnp.float32)
+    cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
+    alpha = jnp.ones((21, 2)) * jnp.asarray([3.0, 1.0])
+    full = SkewPosteriorShapeModelSampler(prior, grid_size=128,
+                                          grid_window=128, method="grid")
+    s_full = np.asarray(full(jax.random.key(0), mu, cov, alpha, n=_GRID_N))
+    return prior, mu, cov, alpha, s_full
+
+
+def _population_stats_close(s_ref, s_new, n=_GRID_N):
+    """Shared mean/std/skewness agreement gate for two n-draw populations."""
+    se = np.sqrt(s_ref.var(0) / n + s_new.var(0) / n)
+    mean_z = np.abs(s_ref.mean(0) - s_new.mean(0)) / np.maximum(se, 1e-6)
+    assert mean_z.max() < 6.0, f"max mean z-score {mean_z.max():.2f}"
+    std_rel = np.abs(s_ref.std(0) - s_new.std(0)) / np.maximum(s_ref.std(0), 0.5)
+    assert std_rel.max() < 0.35, f"max std rel diff {std_rel.max():.2f}"
+
+    def skewness(s):
+        d = s - s.mean(0)
+        return (d**3).mean(0) / np.maximum(s.std(0) ** 3, 1e-6)
+
+    sk_diff = np.abs(skewness(s_ref) - skewness(s_new))
+    # Skewness SE ~ sqrt(6/n) ~ 0.108; diff of two populations ~ 0.153.
+    assert np.mean(sk_diff) < 0.2, f"mean skewness diff {np.mean(sk_diff):.2f}"
+    assert sk_diff.max() < 0.8, f"max skewness diff {sk_diff.max():.2f}"
+
+
+def test_windowed_vs_full_grid_equivalence(grid_reference):
     """The round-2 windowed grid-product draw must be distributionally
     indistinguishable from the reference-exact full-grid draw
     (sampler/posterior_shape_model/psm_skew.py:44-159 samples the full grid)
@@ -103,45 +143,25 @@ def test_windowed_vs_full_grid_equivalence():
     from contouring_uncertainty_tpu.sampler import prior as prior_lib
     from contouring_uncertainty_tpu.sampler.psm import merge_priors
 
-    contours = _train_contours()
-    prior = fit_shape_prior(contours)
-    mu = jnp.asarray(contours[5], jnp.float32)
-    cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
-    alpha = jnp.ones((21, 2)) * jnp.asarray([3.0, 1.0])
-
-    full = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=128)
-    win = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=None)
+    prior, mu, cov, alpha, s_full = grid_reference
+    win = SkewPosteriorShapeModelSampler(prior, grid_size=128,
+                                         grid_window=None, method="grid")
     assert win._window < 128, "auto window must actually truncate the grid"
 
-    n = 512
-    s_full = np.asarray(full(jax.random.key(0), mu, cov, alpha, n=n))
+    n = _GRID_N
     s_win = np.asarray(win(jax.random.key(1), mu, cov, alpha, n=n))
 
     # Per-coordinate population mean/std/skewness within statistical
     # tolerance of each other (two independent n-sample populations).
-    se = np.sqrt(s_full.var(0) / n + s_win.var(0) / n)
-    mean_z = np.abs(s_full.mean(0) - s_win.mean(0)) / np.maximum(se, 1e-6)
-    assert mean_z.max() < 6.0, f"max mean z-score {mean_z.max():.2f}"
-    std_rel = np.abs(s_full.std(0) - s_win.std(0)) / np.maximum(s_full.std(0), 0.5)
-    assert std_rel.max() < 0.35, f"max std rel diff {std_rel.max():.2f}"
-
-    def skewness(s):
-        d = s - s.mean(0)
-        return (d**3).mean(0) / np.maximum(s.std(0) ** 3, 1e-6)
-
-    sk_diff = np.abs(skewness(s_full) - skewness(s_win))
-    # Skewness SE ~ sqrt(6/n) ~ 0.108; diff of two populations ~ 0.153.
-    assert np.mean(sk_diff) < 0.2, f"mean skewness diff {np.mean(sk_diff):.2f}"
-    assert sk_diff.max() < 0.8, f"max skewness diff {sk_diff.max():.2f}"
+    _population_stats_close(s_full, s_win)
 
     # Explicit truncation bound: evaluate the fused grid-product density on
     # the FULL grid (level-0 posterior at a representative contour state) and
     # sum the probability mass falling outside each point's window.
     alpha_f = alpha * jnp.asarray([1.0, -1.0])
     mu_t = prior_lib.transform(prior, mu).reshape(-1)
-    _, q = prior_lib.refit_q(prior, mu_t)
     mu_c, cov_c = win._posterior_points(
-        mu, win._level_masks[0], mu_t, q, win.sigmas[0]
+        mu, win._ops[0], mu_t, prior_lib.refit_d(prior, mu_t)
     )
     mu_f, cov_f = merge_priors(mu, cov, mu_c, cov_c)
     steps = win._point_steps(cov_f)
@@ -167,6 +187,41 @@ def test_windowed_vs_full_grid_equivalence():
     assert worst < 1e-7, f"truncated mass {worst:.2e}"
 
 
+def test_esn_matches_grid_product(grid_reference):
+    """The closed-form ESN draw (default method) must be distributionally
+    indistinguishable from the reference-parity full-grid lattice draw of
+    the same skew-pdf x posterior-pdf product, on the same prior — mean,
+    spread, and skewness. The ESN is the exact continuous law the lattice
+    discretizes, so this gates both the derivation and the wiring."""
+    prior, mu, cov, alpha, s_grid = grid_reference
+    esn = SkewPosteriorShapeModelSampler(prior, grid_size=128, method="esn")
+    s_esn = np.asarray(esn(jax.random.key(1), mu, cov, alpha, n=_GRID_N))
+    assert np.isfinite(s_esn).all()
+    _population_stats_close(s_grid, s_esn)
+
+
+def test_esn_zero_alpha_matches_gaussian_psm():
+    """alpha=0 collapses the ESN tilt to a constant: the default skew sampler
+    must then reproduce the plain Gaussian PSM population exactly in law."""
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+
+    contours = _train_contours()
+    prior = fit_shape_prior(contours)
+    esn = SkewPosteriorShapeModelSampler(prior)
+    gauss = PosteriorShapeModelSampler(prior)
+    mu = jnp.asarray(contours[2], jnp.float32)
+    cov = jnp.tile(jnp.eye(2) * 9.0, (21, 1, 1))
+    alpha = jnp.zeros((21, 2))
+
+    n = 400
+    s_esn = np.asarray(esn(jax.random.key(0), mu, cov, alpha, n=n))
+    s_gauss = np.asarray(gauss(jax.random.key(1), mu, cov, n=n))
+    mean_diff = np.linalg.norm(s_esn.mean(0) - s_gauss.mean(0), axis=-1)
+    assert mean_diff.max() < 1.5, f"max mean diff {mean_diff.max():.2f}"
+    rel = np.abs(s_esn.std(0) - s_gauss.std(0)) / np.maximum(s_gauss.std(0), 0.5)
+    assert rel.max() < 0.25, f"max std rel diff {rel.max():.2f}"
+
+
 def test_window_pitch_adapts_to_ood_posterior():
     """OOD guard (round-3 review finding): the per-prediction re-fit factor
     [F0|d] inflates the posterior sigma ~||d|| for predictions far from the
@@ -177,7 +232,8 @@ def test_window_pitch_adapts_to_ood_posterior():
     clipped to it."""
     contours = _train_contours()
     prior = fit_shape_prior(contours)
-    win = SkewPosteriorShapeModelSampler(prior, grid_size=128, grid_window=None)
+    win = SkewPosteriorShapeModelSampler(prior, grid_size=128,
+                                         grid_window=None, method="grid")
     step0 = win._step
 
     # Healthy fused covariance -> exact global pitch (full-grid lattice).

@@ -153,9 +153,10 @@ def build_predict(batch):
     )
 
 
-def build_skew(batch):
-    """Skew uncertainty-propagation view step at the TMI budget (grid-product
-    skew sampling + skew umaps) — the MICCAI-headline path."""
+def build_skew(batch, method="esn"):
+    """Skew uncertainty-propagation view step at the TMI budget (closed-form
+    ESN skew sampling + skew umaps) — the MICCAI-headline path. Mode
+    'skewgrid' traces the reference-parity lattice draw instead."""
     from contouring_uncertainty_tpu.sampler.psm_skew import (
         SkewPosteriorShapeModelSampler)
     from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
@@ -164,8 +165,12 @@ def build_skew(batch):
         lambda data: _tmi_task(data, DSNTSkew),
         lambda task, prior, data: SkewPosteriorShapeModelSampler(
             prior, skew_indices=task.skew_indices, image_extent=255.0,
-            grid_window=64),
+            grid_window=64, method=method),
     )
+
+
+def build_skewgrid(batch):
+    return build_skew(batch, method="grid")
 
 
 def build_seq(batch):
@@ -286,10 +291,11 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         512 if mode == "serve" else
-        2 if mode in ("predict", "skew", "seq") else
+        2 if mode in ("predict", "skew", "skewgrid", "seq") else
         1 if mode == "lung" else 64)
     build = {"serve": build_serve, "train": build_train,
              "predict": build_predict, "skew": build_skew,
+             "skewgrid": build_skewgrid,
              "seq": build_seq, "lung": build_lung}[mode]
     step = build(batch)
 
