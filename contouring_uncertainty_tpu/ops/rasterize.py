@@ -71,17 +71,21 @@ def polygon_fill(dense: jnp.ndarray, height: int, width: int,
     x0, y0 = p0[:, 0], p0[:, 1]
     x1, y1 = p1[:, 0], p1[:, 1]
 
-    rows = jnp.arange(height, dtype=dense.dtype)  # pixel-center y coordinates
-    # (E, H): does edge e cross the horizontal line y = row?
-    above0 = y0[:, None] > rows[None, :]
-    above1 = y1[:, None] > rows[None, :]
+    rows = jnp.arange(height, dtype=dense.dtype)[:, None]  # (H, 1) pixel y
+    # (H, E): does edge e cross the horizontal line y = row? ROW-major
+    # orientation on purpose: the selection below consumes (H, E), and
+    # building (E, H) + .T would force a physical transpose between the
+    # elementwise candidate chain and the selection. In (H, E) the chain
+    # fuses straight into the min-k operand. Bit-identical values either
+    # way.
+    above0 = y0[None, :] > rows
+    above1 = y1[None, :] > rows
     crosses = above0 != above1
     denom = y1 - y0
-    tt = (rows[None, :] - y0[:, None]) / jnp.where(
-        jnp.abs(denom) < 1e-12, 1.0, denom
-    )[:, None]
-    x_int = x0[:, None] + tt * (x1 - x0)[:, None]
-    x_int = jnp.where(crosses, x_int, jnp.inf)  # (E, H)
+    safe_denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    tt = (rows - y0[None, :]) / safe_denom[None, :]
+    x_int = x0[None, :] + tt * (x1 - x0)[None, :]
+    x_int = jnp.where(crosses, x_int, jnp.inf)  # (H, E)
 
     # Per row keep the MAX_CROSSINGS smallest crossing abscissae. On TPU
     # this uses the hardware-optimized approximate min-k (measured 1.9x the
@@ -100,30 +104,18 @@ def polygon_fill(dense: jnp.ndarray, height: int, width: int,
     if exact_topk is None:
         exact_topk = _use_exact_topk()
     if exact_topk:
-        neg_topk, _ = jax.lax.top_k(-x_int.T, MAX_CROSSINGS)  # (H, MC)
+        neg_topk, _ = jax.lax.top_k(-x_int, MAX_CROSSINGS)  # (H, MC)
         xs = -neg_topk
     else:
-        xt = x_int.T  # (H, E)
-        e = xt.shape[-1]
-        if e % 128 == 0 and e >= 256:
-            # Two-stage selection: per-128-wide-chunk min-k, then min-k over
-            # the chunked survivors. Exact under the same global
-            # <= MAX_CROSSINGS-crossings-per-row assumption (each chunk's
-            # crossings are a subset of the row's), and 1.6x faster than the
-            # flat selection — sort cost scales with the sorted width, and
-            # 9 sorts of width <= 128 beat one of 1024 (15.3 -> 9.6 ms per
-            # 500 masks, tools/bench_topk.py).
-            chunks = e // 128
-            s1, _ = jax.lax.approx_min_k(
-                xt.reshape(height * chunks, 128), MAX_CROSSINGS,
-                recall_target=0.99,
-            )
-            xs, _ = jax.lax.approx_min_k(
-                s1.reshape(height, chunks * MAX_CROSSINGS), MAX_CROSSINGS,
-                recall_target=0.99,
-            )
-        else:
-            xs, _ = jax.lax.approx_min_k(xt, MAX_CROSSINGS, recall_target=0.99)
+        # FLAT selection on purpose. A two-stage chunked variant (per-128-
+        # wide-chunk min-k, then min-k over survivors) won the ISOLATED op
+        # 15.3 -> 9.6 ms/500 masks (tools/bench_topk.py) but LOST end to end
+        # (56.3 vs 49.2 ms/view, interleaved same-window A/B, round-3
+        # trace): its (H, E) -> (H*chunks, 128) reshape crosses the (8,128)
+        # tile boundary, forcing XLA to materialize the entire elementwise
+        # candidate chain (~16 ms/view of reshape/broadcast/select), while
+        # the flat sort consumes the chain fused. Code in git history.
+        xs, _ = jax.lax.approx_min_k(x_int, MAX_CROSSINGS, recall_target=0.99)
 
     cols = jnp.arange(width, dtype=dense.dtype)
     counts = jnp.sum(cols[None, :, None] >= xs[:, None, :], axis=-1)  # (H, W)

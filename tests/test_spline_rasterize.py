@@ -102,12 +102,11 @@ def test_rasterize_is_jit_compatible_under_vmap_grad_free():
     assert out.shape == (4, 128, 128)
 
 
-def test_two_stage_selection_matches_exact_fill():
-    """The round-3 two-stage chunked crossing selection (ops/rasterize.py
-    polygon_fill, exact_topk=False, E=1024) must be pixel-exact vs the exact
-    top_k path on degenerate zigzag contours. On CPU approx_min_k lowers to
-    an exact selection, so this pins the CHUNKING logic (per-128 min-k +
-    survivor re-selection never drops a crossing); the compiled TPU binning
+def test_approx_selection_matches_exact_fill():
+    """The approx_min_k crossing selection (ops/rasterize.py polygon_fill,
+    exact_topk=False, E=1024) must be pixel-exact vs the exact top_k path on
+    degenerate zigzag contours. On CPU approx_min_k lowers to an exact
+    selection, so this pins the selection plumbing; the compiled TPU binning
     is additionally checked on-chip by bench.py's approx_parity_check."""
     from contouring_uncertainty_tpu.ops.rasterize import approx_parity_check
 
