@@ -66,56 +66,44 @@ def polygon_fill(dense: jnp.ndarray, height: int, width: int,
 
     Returns a float32 (height, width) {0,1} mask.
     """
-    p0 = dense
-    p1 = jnp.roll(dense, -1, axis=0)
-    x0, y0 = p0[:, 0], p0[:, 1]
-    x1, y1 = p1[:, 0], p1[:, 1]
-
-    rows = jnp.arange(height, dtype=dense.dtype)[:, None]  # (H, 1) pixel y
-    # (H, E): does edge e cross the horizontal line y = row? ROW-major
-    # orientation on purpose: the selection below consumes (H, E), and
-    # building (E, H) + .T would force a physical transpose between the
-    # elementwise candidate chain and the selection. In (H, E) the chain
-    # fuses straight into the min-k operand. Bit-identical values either
-    # way.
-    above0 = y0[None, :] > rows
-    above1 = y1[None, :] > rows
-    crosses = above0 != above1
-    denom = y1 - y0
-    safe_denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    tt = (rows - y0[None, :]) / safe_denom[None, :]
-    x_int = x0[None, :] + tt * (x1 - x0)[None, :]
-    x_int = jnp.where(crosses, x_int, jnp.inf)  # (H, E)
-
-    # Per row keep the MAX_CROSSINGS smallest crossing abscissae. On TPU
-    # this uses the hardware-optimized approximate min-k (measured 1.9x the
-    # exact top_k, 48 -> 26 ms per 500 masks): anatomical contours have only
-    # a handful of finite crossings per row among the E=1024 inf-padded
-    # candidates, and the binned reduction retains all of them — verified
-    # pixel-exact against top_k over 500 high-noise/zigzag contours
-    # (32.7M pixels, zero mismatches) AND continuously re-checked on-chip by
-    # `approx_parity_check` via bench.py. CPU keeps the exact top_k so the
-    # oracle test suite is bit-stable; CUTPU_EXACT_TOPK=1 forces exact.
-    # Integer bucket keys (ceil(x) — exact, counts compare integer columns)
-    # were measured and REJECTED: int32 top_k 35.3 vs f32 39.4 ms/500 masks,
-    # but the winning approx path slows 15.5 -> 17.0 ms because the
-    # ceil/clip/cast pass costs more than int compares save
-    # (tools/bench_topk.py, docs/PERF_NOTES.md r3).
+    # Per row keep the MAX_CROSSINGS smallest crossing abscissae.
+    # TPU default: the fused exact min-k Pallas kernel (ops/pallas_select.py)
+    # — reads only the (E,) edge arrays and retires k minima in VMEM, no
+    # HBM candidate tensor and no sort. CPU (and CUTPU_EXACT_TOPK=1) keeps
+    # the XLA exact top_k so the oracle test suite is bit-stable; both paths
+    # are exact and their parity is continuously re-checked on-chip by
+    # `approx_parity_check` via bench.py.
+    # Measured-and-rejected alternatives (docs/PERF_NOTES.md, git history):
+    # approx_min_k flat sort (the round-3 default this kernel replaces),
+    # a two-stage chunked selection (won isolated, lost end-to-end to
+    # tile-boundary relayouts), integer bucket sort keys (extra elementwise
+    # pass costs more than int compares save).
     if exact_topk is None:
         exact_topk = _use_exact_topk()
     if exact_topk:
+        p0 = dense
+        p1 = jnp.roll(dense, -1, axis=0)
+        x0, y0 = p0[:, 0], p0[:, 1]
+        x1, y1 = p1[:, 0], p1[:, 1]
+
+        rows = jnp.arange(height, dtype=dense.dtype)[:, None]  # (H, 1) y
+        # (H, E) ROW-major orientation on purpose: the selection consumes
+        # (H, E), and building (E, H) + .T would force a physical transpose
+        # between the elementwise candidate chain and the selection.
+        above0 = y0[None, :] > rows
+        above1 = y1[None, :] > rows
+        crosses = above0 != above1
+        denom = y1 - y0
+        safe_denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        tt = (rows - y0[None, :]) / safe_denom[None, :]
+        x_int = x0[None, :] + tt * (x1 - x0)[None, :]
+        x_int = jnp.where(crosses, x_int, jnp.inf)  # (H, E)
         neg_topk, _ = jax.lax.top_k(-x_int, MAX_CROSSINGS)  # (H, MC)
         xs = -neg_topk
     else:
-        # FLAT selection on purpose. A two-stage chunked variant (per-128-
-        # wide-chunk min-k, then min-k over survivors) won the ISOLATED op
-        # 15.3 -> 9.6 ms/500 masks (tools/bench_topk.py) but LOST end to end
-        # (56.3 vs 49.2 ms/view, interleaved same-window A/B, round-3
-        # trace): its (H, E) -> (H*chunks, 128) reshape crosses the (8,128)
-        # tile boundary, forcing XLA to materialize the entire elementwise
-        # candidate chain (~16 ms/view of reshape/broadcast/select), while
-        # the flat sort consumes the chain fused. Code in git history.
-        xs, _ = jax.lax.approx_min_k(x_int, MAX_CROSSINGS, recall_target=0.99)
+        from contouring_uncertainty_tpu.ops.pallas_select import min_k_crossings
+
+        xs = min_k_crossings(dense, height, MAX_CROSSINGS)
 
     cols = jnp.arange(width, dtype=dense.dtype)
     counts = jnp.sum(cols[None, :, None] >= xs[:, None, :], axis=-1)  # (H, W)
