@@ -325,6 +325,14 @@ class AleatoricPredictor(_ViewPredictor):
         point_u, instant_u = point_instant_uncertainty(
             mu, cov, post_cov, umap, entropy, pred, groups=self.groups
         )
+        if not self.soft_mask:
+            # Hard-mask populations hold small integer labels: ship them as
+            # uint8. The (N, T_e, T_a, H, W) population is by far the largest
+            # predictor output (TMI budget: 131 MB/view in f32) and every
+            # consumer thresholds with `> 0.5` — 4x less device->host
+            # traffic per view (the tunnel streams ~26 MB/s). The f32 form
+            # stays internal (entropy/occupancy read it before this cast).
+            pred_samples = pred_samples.astype(jnp.uint8)
         return {
             "mu": mu, "cov": cov, "mode": mode, "alpha": alpha,
             "post_mu": post_mu, "post_cov": post_cov,
