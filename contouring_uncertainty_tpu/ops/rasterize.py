@@ -110,9 +110,24 @@ def polygon_fill(dense: jnp.ndarray, height: int, width: int,
     mask = (counts % 2).astype(jnp.float32)
 
     if include_boundary:
-        xi = jnp.clip(jnp.round(dense[:, 0]).astype(jnp.int32), 0, width - 1)
-        yi = jnp.clip(jnp.round(dense[:, 1]).astype(jnp.int32), 0, height - 1)
-        mask = mask.at[yi, xi].max(1.0)
+        # Boundary pixels as a one-hot matmul instead of a scatter: the
+        # scatter was the single fattest non-conv op of the predict view step
+        # (4.8 ms/view for the 500-mask population — HLO %scatter over the
+        # flattened population; docs/PERF_NOTES.md round-3 continuation).
+        # B[y, x] = sum_p [round(y_p)==y][round(x_p)==x] >= 1 marks exactly
+        # the same pixels: one-hot operands are 0/1 (exact in bf16) and the
+        # MXU accumulates in f32, so the count is exact — same trick as the
+        # gather-free spline evaluation (ops/spline.py).
+        xi = jnp.clip(jnp.round(dense[:, 0]), 0.0, float(width - 1))
+        yi = jnp.clip(jnp.round(dense[:, 1]), 0.0, float(height - 1))
+        oh_y = (yi[:, None] == jnp.arange(height, dtype=yi.dtype)).astype(
+            jnp.bfloat16)  # (P, H)
+        oh_x = (xi[:, None] == jnp.arange(width, dtype=xi.dtype)).astype(
+            jnp.bfloat16)  # (P, W)
+        bcount = jax.lax.dot_general(
+            oh_y, oh_x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (H, W)
+        mask = jnp.maximum(mask, (bcount > 0.5).astype(jnp.float32))
     return mask
 
 
