@@ -118,6 +118,11 @@ def main():
     except Exception as exc:  # secondary metric must not break the headline
         line["predict_views_per_sec_error"] = f"{type(exc).__name__}: {exc}"
     try:
+        line["predict_views_per_sec_bf16"] = round(
+            _bench_predict_pipeline(bf16=True), 2)
+    except Exception as exc:
+        line["predict_views_per_sec_bf16_error"] = f"{type(exc).__name__}: {exc}"
+    try:
         line.update(_parity_checks())
     except Exception as exc:
         line["parity_error"] = f"{type(exc).__name__}: {exc}"
@@ -289,11 +294,17 @@ def _parity_checks() -> dict:
     return out
 
 
-def _bench_predict_pipeline() -> float:
+def _bench_predict_pipeline(bf16: bool = False) -> float:
     """Secondary metric: full uncertainty-propagation throughput (views/s) at
     the TMI evaluation budget (t_e=10 epistemic forwards x t_a=25 PSM contour
     samples, 21 landmarks @ 256^2) — the reference's Stack-2 hot path runs
-    this as host-side Python (~minutes/view); ours is one jit per view."""
+    this as host-side Python (~minutes/view); ours is one jit per view.
+
+    `bf16=True` measures the opt-in fast serving mode
+    (task.model.dtype=bf16 head_dtype=bf16: bf16 T_e forwards + the fused
+    Pallas DSNT head; f32 stays the reference-parity default) — the predict
+    step is forward-dominated after the round-3 sampler campaign, so this is
+    the remaining big lever (docs/PERF_NOTES.md)."""
     import tempfile
 
     from contouring_uncertainty_tpu.data.camus import CamusContourData
@@ -305,8 +316,11 @@ def _bench_predict_pipeline() -> float:
     with tempfile.TemporaryDirectory() as tmp:
         h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
         data = CamusContourData(h5, fold=5)
+        model_kwargs = {"drop_block": True}
+        if bf16:
+            model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
         task = DSNTAleatoric(data_params=data.data_params, t_a=25, t_e=10,
-                             model_kwargs={"drop_block": True})
+                             model_kwargs=model_kwargs)
         model = task.build_model()
         variables = jax.jit(model.init)(
             jax.random.key(0), jnp.zeros((2, 1, 256, 256)))

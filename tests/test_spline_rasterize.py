@@ -111,3 +111,25 @@ def test_approx_selection_matches_exact_fill():
     from contouring_uncertainty_tpu.ops.rasterize import approx_parity_check
 
     assert approx_parity_check(n_contours=16) == 0
+
+
+def test_boundary_onehot_matmul_matches_scatter_reference():
+    """Boundary pixels are marked via onehot(y)^T @ onehot(x) >= 1 instead of
+    a scatter (the scatter was the fattest non-conv op of the predict view
+    step, docs/PERF_NOTES.md round-3 continuation). The matmul must be
+    BIT-exact vs the reference semantics: parity fill + max-scatter of the
+    rounded dense polygon vertices (utils/contour.py:28-40's implicit
+    boundary from drawing the spline onto the grid)."""
+    from contouring_uncertainty_tpu.ops.rasterize import polygon_fill
+    from contouring_uncertainty_tpu.ops.spline import contour_spline
+
+    for seed in range(6):
+        pts = _lv_like_contour(jitter=3.0, seed=seed)
+        dense = np.asarray(contour_spline(jnp.asarray(pts), n=1024, close=False))
+        got = np.asarray(polygon_fill(jnp.asarray(dense), 256, 256))
+        ref = np.array(
+            polygon_fill(jnp.asarray(dense), 256, 256, include_boundary=False))
+        xi = np.clip(np.round(dense[:, 0]).astype(int), 0, 255)
+        yi = np.clip(np.round(dense[:, 1]).astype(int), 0, 255)
+        ref[yi, xi] = 1.0
+        np.testing.assert_array_equal(got, ref)
