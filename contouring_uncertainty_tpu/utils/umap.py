@@ -45,11 +45,23 @@ def _draw_contours(contours: jnp.ndarray, weights: jnp.ndarray, shape,
         return pts
 
     pts = jax.vmap(dense_points)(contours)  # (C, P, 2)
-    xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, width - 1)
-    yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, height - 1)
-    w = jnp.broadcast_to(weights[:, None], xi.shape)
-    umap = jnp.zeros((height, width))
-    return umap.at[yi.reshape(-1), xi.reshape(-1)].max(w.reshape(-1))
+    xi = jnp.clip(jnp.round(pts[..., 0]), 0.0, float(width - 1))
+    yi = jnp.clip(jnp.round(pts[..., 1]), 0.0, float(height - 1))
+    # One-hot matmul instead of a scatter-max (same trick as the boundary
+    # marking in ops/rasterize.polygon_fill — the scatter was 2.0 ms/view in
+    # the predict trace, docs/PERF_NOTES.md): hit_c[y, x] = "a point of
+    # contour c rounds to (y, x)" via onehot(y)^T @ onehot(x) >= 1, exact
+    # (0/1 operands exact in bf16, f32 MXU accumulation); weights are
+    # per-CONTOUR constants, so max_c w_c*hit_c reproduces the scatter's
+    # .at[].max(w) bit-exactly.
+    oh_y = (yi[..., None] == jnp.arange(height, dtype=yi.dtype)
+            ).astype(jnp.bfloat16)  # (C, P, H)
+    oh_x = (xi[..., None] == jnp.arange(width, dtype=xi.dtype)
+            ).astype(jnp.bfloat16)  # (C, P, W)
+    counts = jax.lax.dot_general(
+        oh_y, oh_x, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (C, H, W)
+    return jnp.max(jnp.where(counts > 0.5, weights[:, None, None], 0.0), axis=0)
 
 
 @partial(jax.jit, static_argnames=("shape", "close", "steps"))
