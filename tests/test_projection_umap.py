@@ -113,3 +113,35 @@ def test_plotting_helpers_run():
     plot_skewed_normals(ax, _contour()[:3], np.tile(np.eye(2) * 9, (3, 1, 1)),
                         np.ones((3, 2)))
     plt.close(f)
+
+
+def test_draw_contours_matches_scatter_max_reference():
+    """_draw_contours marks contour pixels via one-hot matmuls + per-contour
+    max (docs/PERF_NOTES.md round-3 second continuation); with identical f32
+    inputs it must be bit-exact vs the scatter-max reference semantics
+    (.at[yi, xi].max(w) of the rounded dense points, reference
+    utils/umap.py:10-33's draw loop)."""
+    from contouring_uncertainty_tpu.ops.spline import contour_spline
+    from contouring_uncertainty_tpu.utils.umap import _draw_contours
+
+    rng = np.random.default_rng(0)
+    theta = np.linspace(0, np.pi, 21)
+    base = np.stack([128 + 60 * np.cos(theta), 60 + 140 * np.sin(theta)], -1)
+    contours = (base[None] + rng.normal(scale=4.0, size=(32, 21, 2))
+                ).astype(np.float32)
+    weights = rng.uniform(0.1, 1.0, size=32).astype(np.float32)
+
+    got = np.asarray(jax.jit(
+        lambda c, w: _draw_contours(c, w, (256, 256))
+    )(jnp.asarray(contours), jnp.asarray(weights)))
+
+    ref = np.zeros((256, 256), np.float32)
+    for c, w in zip(contours, weights):
+        pts = np.asarray(contour_spline(jnp.asarray(c), n=1000))
+        seg_w = np.linspace(0, 1, 256, dtype=np.float32)[:, None]
+        seg = c[-1][None] * (1 - seg_w) + c[0][None] * seg_w
+        pts = np.concatenate([pts, seg], 0)
+        xi = np.clip(np.round(pts[:, 0]).astype(int), 0, 255)
+        yi = np.clip(np.round(pts[:, 1]).astype(int), 0, 255)
+        np.maximum.at(ref, (yi, xi), w)
+    np.testing.assert_array_equal(got, ref)
