@@ -28,23 +28,34 @@ def _norm_pdf(x, scale=1.0):
     return jnp.exp(-0.5 * (x / scale) ** 2) / (scale * jnp.sqrt(2.0 * jnp.pi))
 
 
-def _draw_contours(contours: jnp.ndarray, weights: jnp.ndarray, shape,
-                   n_dense: int = 1000, close: bool = True) -> jnp.ndarray:
-    """Draw open spline curves with per-contour weights onto one map
-    (scatter-max; the reference's last-writer-wins assignment is
-    order-dependent under overlap, max is the deterministic equivalent)."""
-    height, width = shape
+def _dense_contour_points(contours: jnp.ndarray, n_dense: int = 1000,
+                          close: bool = True) -> jnp.ndarray:
+    """(C, K, 2) landmark contours -> (C, P, 2) dense spline points (plus a
+    straight closing segment between the endpoints when `close`)."""
 
     def dense_points(c):
         pts = contour_spline(c, n=n_dense)
         if close:
-            # Straight closing segment between the contour endpoints.
             w = jnp.linspace(0.0, 1.0, 256)[:, None]
             seg = c[-1][None] * (1 - w) + c[0][None] * w
             pts = jnp.concatenate([pts, seg], axis=0)
         return pts
 
-    pts = jax.vmap(dense_points)(contours)  # (C, P, 2)
+    return jax.vmap(dense_points)(contours)
+
+
+def _draw_contours(contours: jnp.ndarray, weights: jnp.ndarray, shape,
+                   n_dense: int = 1000, close: bool = True) -> jnp.ndarray:
+    """Draw open spline curves with per-contour weights onto one map
+    (scatter-max; the reference's last-writer-wins assignment is
+    order-dependent under overlap, max is the deterministic equivalent)."""
+    pts = _dense_contour_points(contours, n_dense=n_dense, close=close)
+    return _paint_points(pts, weights, shape)
+
+
+def _paint_points(pts: jnp.ndarray, weights: jnp.ndarray, shape) -> jnp.ndarray:
+    """(C, P, 2) dense points + (C,) weights -> (H, W) max-weight map."""
+    height, width = shape
     xi = jnp.clip(jnp.round(pts[..., 0]), 0.0, float(width - 1))
     yi = jnp.clip(jnp.round(pts[..., 1]), 0.0, float(height - 1))
     # One-hot matmul instead of a scatter-max (same trick as the boundary

@@ -115,21 +115,46 @@ def test_plotting_helpers_run():
     plt.close(f)
 
 
-def test_draw_contours_matches_scatter_max_reference():
-    """_draw_contours marks contour pixels via one-hot matmuls + per-contour
-    max (docs/PERF_NOTES.md round-3 second continuation); with identical f32
+def test_paint_points_matches_scatter_max_reference():
+    """_paint_points marks pixels via one-hot matmuls + per-contour max
+    (docs/PERF_NOTES.md round-3 second continuation); on identical f32 point
     inputs it must be bit-exact vs the scatter-max reference semantics
-    (.at[yi, xi].max(w) of the rounded dense points, reference
-    utils/umap.py:10-33's draw loop)."""
+    (.at[yi, xi].max(w) of the rounded points, reference utils/umap.py:10-33
+    draw loop). Tested on the painting stage directly so spline/linspace
+    1-ulp jit-vs-eager drift cannot make the bitwise assert flaky."""
+    from contouring_uncertainty_tpu.utils.umap import _paint_points
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5.0, 260.0, size=(32, 1256, 2)).astype(np.float32)
+    # include exact .5 ties and out-of-range points
+    pts[:, :50] = np.round(pts[:, :50]) + 0.5
+    weights = rng.uniform(0.1, 1.0, size=32).astype(np.float32)
+
+    got = np.asarray(jax.jit(
+        lambda p, w: _paint_points(p, w, (256, 256))
+    )(jnp.asarray(pts), jnp.asarray(weights)))
+
+    ref = np.zeros((256, 256), np.float32)
+    for c, w in zip(pts, weights):
+        xi = np.clip(np.round(c[:, 0]).astype(int), 0, 255)
+        yi = np.clip(np.round(c[:, 1]).astype(int), 0, 255)
+        np.maximum.at(ref, (yi, xi), w)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_draw_contours_close_to_scatter_reference():
+    """End-to-end _draw_contours vs an eager scatter-max rebuild: allclose
+    (NOT bitwise — eager vs jit spline evaluation may differ by 1 ulp and a
+    point sitting exactly on a .5 boundary could flip a pixel)."""
     from contouring_uncertainty_tpu.ops.spline import contour_spline
     from contouring_uncertainty_tpu.utils.umap import _draw_contours
 
     rng = np.random.default_rng(0)
     theta = np.linspace(0, np.pi, 21)
     base = np.stack([128 + 60 * np.cos(theta), 60 + 140 * np.sin(theta)], -1)
-    contours = (base[None] + rng.normal(scale=4.0, size=(32, 21, 2))
+    contours = (base[None] + rng.normal(scale=4.0, size=(8, 21, 2))
                 ).astype(np.float32)
-    weights = rng.uniform(0.1, 1.0, size=32).astype(np.float32)
+    weights = rng.uniform(0.1, 1.0, size=8).astype(np.float32)
 
     got = np.asarray(jax.jit(
         lambda c, w: _draw_contours(c, w, (256, 256))
@@ -137,11 +162,13 @@ def test_draw_contours_matches_scatter_max_reference():
 
     ref = np.zeros((256, 256), np.float32)
     for c, w in zip(contours, weights):
-        pts = np.asarray(contour_spline(jnp.asarray(c), n=1000))
-        seg_w = np.linspace(0, 1, 256, dtype=np.float32)[:, None]
-        seg = c[-1][None] * (1 - seg_w) + c[0][None] * seg_w
-        pts = np.concatenate([pts, seg], 0)
+        cj = jnp.asarray(c)
+        seg_w = jnp.linspace(0.0, 1.0, 256)[:, None]
+        seg = cj[-1][None] * (1 - seg_w) + cj[0][None] * seg_w
+        pts = np.asarray(
+            jnp.concatenate([contour_spline(cj, n=1000), seg], axis=0))
         xi = np.clip(np.round(pts[:, 0]).astype(int), 0, 255)
         yi = np.clip(np.round(pts[:, 1]).astype(int), 0, 255)
         np.maximum.at(ref, (yi, xi), w)
-    np.testing.assert_array_equal(got, ref)
+    # identical up to boundary-pixel rounding of 1-ulp-different points
+    assert (got != ref).mean() < 1e-3

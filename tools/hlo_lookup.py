@@ -6,73 +6,79 @@ back to source-level operations. Works through the tunneled backend where
 `--xla_dump_to` cannot (compilation happens service-side).
 
 Usage:
-  python tools/hlo_lookup.py predict fusion.12 fusion.918 ...
+  python tools/hlo_lookup.py <predict|skew|skewgrid|seq|lung> NAME [NAME...]
   python tools/hlo_lookup.py predict --summary   # all fusions, one line each
+
+The optimized HLO text is cached at /tmp/hlo_<mode>.txt so follow-up lookups
+are instant. The cache is keyed on the newest mtime under the package source
+tree — after a code change the workload recompiles automatically; set
+HLO_CACHE=0 to force a recompile regardless.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_MODES = ("predict", "skew", "skewgrid", "seq", "lung")
 
 
-def main():
-    mode = sys.argv[1]
-    names = [a for a in sys.argv[2:] if not a.startswith("--")]
-    summary = "--summary" in sys.argv
+def _src_fingerprint() -> str:
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "contouring_uncertainty_tpu")
+    mtimes = [os.path.getmtime(p)
+              for p in glob.glob(os.path.join(root, "**", "*.py"),
+                                 recursive=True)]
+    return f"{max(mtimes):.0f}-{len(mtimes)}" if mtimes else "none"
 
+
+def optimized_hlo(mode: str) -> str:
+    cache = f"/tmp/hlo_{mode}.txt"
+    fp = f"# src-fingerprint: {_src_fingerprint()}\n"
+    if os.path.exists(cache) and os.environ.get("HLO_CACHE", "1") == "1":
+        text = open(cache).read()
+        if text.startswith(fp):
+            return text
+        print("# cache stale (package source changed), recompiling",
+              file=sys.stderr)
+
+    # Build the SAME workload trace_breakdown traces (single source of truth)
+    # and fetch its optimized HLO through the AOT API. The predictor's
+    # single-view jit is what the trace envelopes (`jit__view_fn`).
     import jax
-    import jax.numpy as jnp
 
     import tools.trace_breakdown as tb
 
-    # Rebuild the workload but lower/compile the view fn directly.
-    import tempfile
+    step = tb.main_builders()[mode](2)
+    cells = dict(zip(step.__code__.co_freevars,
+                     (c.cell_contents for c in step.__closure__ or ())))
+    pred = cells.get("predictor")
+    if pred is None:
+        raise SystemExit(
+            f"mode {mode!r} has no predictor in its step closure "
+            f"({sorted(cells)}) — HLO lookup supports the predict-pipeline "
+            "modes only")
+    args = (cells["variables"], cells["view"], cells["key"])
+    text = fp + jax.jit(pred._view_fn).lower(*args).compile().as_text()
+    with open(cache, "w") as f:
+        f.write(text)
+    return text
 
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import (
-        AleatoricPredictor, get_or_fit_prior)
-    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
-    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
-    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
-    from contouring_uncertainty_tpu.sampler.psm_skew import (
-        SkewPosteriorShapeModelSampler)
 
-    tmp = tempfile.mkdtemp()
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-    data = CamusContourData(h5, fold=5)
-    if mode == "skew":
-        task = tb._tmi_task(data, DSNTSkew)
-    else:
-        task = tb._tmi_task(data, DSNTAleatoric)
-    model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((2, 1, 256, 256)))
-    prior = get_or_fit_prior(data, None)
-    if mode == "skew":
-        sampler = SkewPosteriorShapeModelSampler(
-            prior, skew_indices=task.skew_indices, image_extent=255.0,
-            grid_window=64)
-    else:
-        sampler = PosteriorShapeModelSampler(prior)
-    predictor = AleatoricPredictor(task, model, sampler)
-    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
-    key = jax.random.key(0)
+def main():
+    argv = sys.argv[1:]
+    if not argv or argv[0] not in _MODES:
+        raise SystemExit(__doc__)
+    mode = argv[0]
+    names = [a for a in argv[1:] if not a.startswith("--")]
+    summary = "--summary" in argv
 
-    cache = f"/tmp/hlo_{mode}.txt"
-    import os
-    if os.path.exists(cache) and os.environ.get("HLO_CACHE", "1") == "1":
-        text = open(cache).read()
-    else:
-        lowered = jax.jit(predictor._view_fn).lower(variables, view, key)
-        compiled = lowered.compile()
-        text = compiled.as_text()
-        with open(cache, "w") as f:
-            f.write(text)
-    print(f"# optimized HLO: {len(text)} chars (cache {cache})",
+    text = optimized_hlo(mode)
+    print(f"# optimized HLO: {len(text)} chars (cache /tmp/hlo_{mode}.txt)",
           file=sys.stderr)
 
     if summary:

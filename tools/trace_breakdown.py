@@ -287,17 +287,22 @@ def parse_trace(trace_dir, batch):
             print(f"{name:<44s} {cnt:>4d} {dur:>10.1f} {dur/batch:>9.2f}")
 
 
+def main_builders():
+    """Mode -> builder map (shared with tools/hlo_lookup.py so the fetched
+    HLO always corresponds to the workload this tool traces)."""
+    return {"serve": build_serve, "train": build_train,
+            "predict": build_predict, "skew": build_skew,
+            "skewgrid": build_skewgrid,
+            "seq": build_seq, "lung": build_lung}
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "serve"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         512 if mode == "serve" else
         2 if mode in ("predict", "skew", "skewgrid", "seq") else
         1 if mode == "lung" else 64)
-    build = {"serve": build_serve, "train": build_train,
-             "predict": build_predict, "skew": build_skew,
-             "skewgrid": build_skewgrid,
-             "seq": build_seq, "lung": build_lung}[mode]
-    step = build(batch)
+    step = main_builders()[mode](batch)
 
     _sync(step())  # compile + warm
     _sync(step())
