@@ -123,6 +123,11 @@ def main():
     except Exception as exc:
         line["predict_views_per_sec_bf16_error"] = f"{type(exc).__name__}: {exc}"
     try:
+        line["predict_views_per_sec_skew"] = round(
+            _bench_predict_pipeline(skew=True), 2)
+    except Exception as exc:
+        line["predict_views_per_sec_skew_error"] = f"{type(exc).__name__}: {exc}"
+    try:
         line.update(_parity_checks())
     except Exception as exc:
         line["parity_error"] = f"{type(exc).__name__}: {exc}"
@@ -294,7 +299,7 @@ def _parity_checks() -> dict:
     return out
 
 
-def _bench_predict_pipeline(bf16: bool = False) -> float:
+def _bench_predict_pipeline(bf16: bool = False, skew: bool = False) -> float:
     """Secondary metric: full uncertainty-propagation throughput (views/s) at
     the TMI evaluation budget (t_e=10 epistemic forwards x t_a=25 PSM contour
     samples, 21 landmarks @ 256^2) — the reference's Stack-2 hot path runs
@@ -304,14 +309,20 @@ def _bench_predict_pipeline(bf16: bool = False) -> float:
     (task.model.dtype=bf16 head_dtype=bf16: bf16 T_e forwards + the fused
     Pallas DSNT head; f32 stays the reference-parity default) — the predict
     step is forward-dominated after the round-3 sampler campaign, so this is
-    the remaining big lever (docs/PERF_NOTES.md)."""
+    the remaining big lever (docs/PERF_NOTES.md).
+
+    `skew=True` measures the MICCAI-headline skew pipeline instead (DSNTSkew
+    + closed-form ESN skew sampling + skew umaps)."""
     import tempfile
 
     from contouring_uncertainty_tpu.data.camus import CamusContourData
     from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
     from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+    from contouring_uncertainty_tpu.sampler.psm_skew import (
+        SkewPosteriorShapeModelSampler)
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
 
     with tempfile.TemporaryDirectory() as tmp:
         h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
@@ -319,13 +330,18 @@ def _bench_predict_pipeline(bf16: bool = False) -> float:
         model_kwargs = {"drop_block": True}
         if bf16:
             model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
-        task = DSNTAleatoric(data_params=data.data_params, t_a=25, t_e=10,
-                             model_kwargs=model_kwargs)
+        cls = DSNTSkew if skew else DSNTAleatoric
+        task = cls(data_params=data.data_params, t_a=25, t_e=10,
+                   model_kwargs=model_kwargs)
         model = task.build_model()
         variables = jax.jit(model.init)(
             jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
         prior = get_or_fit_prior(data, None)
-        sampler = PosteriorShapeModelSampler(prior)
+        if skew:
+            sampler = SkewPosteriorShapeModelSampler(
+                prior, skew_indices=task.skew_indices, image_extent=255.0)
+        else:
+            sampler = PosteriorShapeModelSampler(prior)
         predictor = AleatoricPredictor(task, model, sampler)
 
         views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
