@@ -22,6 +22,9 @@ from __future__ import annotations
 import csv
 import json
 import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 from pathlib import Path
 

@@ -9,11 +9,15 @@ Variants per (H=256, E=1024) row-selection at batch B masks:
 Protocol per CLAUDE.md: enqueue 32 calls, fetch one scalar of the last
 output; best of 3 reps, interleaved A/B across variants.
 """
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 H, E, MC, B = 256, 1024, 16, 500
 

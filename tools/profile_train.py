@@ -18,6 +18,9 @@ Usage: python tools/profile_train.py [batch ...]
 from __future__ import annotations
 
 import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

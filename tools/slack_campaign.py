@@ -24,6 +24,9 @@ Usage: python tools/slack_campaign.py [rounds] [batch]
 from __future__ import annotations
 
 import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
