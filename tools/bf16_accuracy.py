@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Paired f32-vs-bf16 predict-pipeline accuracy on a TRAINED flagship model.
+
+PERF_NOTES names `task.model.dtype=bf16` as the remaining big lever on the
+forward-dominated predict step (-15% round 3, -23% with the fused bf16 head),
+but the only accuracy evidence so far is the UNTRAINED bound (mu shift
+<= 0.38 px). This tool produces the trained-model numbers that decide whether
+the fast serving mode can become a recommended default:
+
+1. trains the flagship dsnt-al (drop_block, 256^2) on the synthetic CAMUS
+   dataset via the runner CLI path (or loads --ckpt),
+2. runs the full TMI-budget predict step (t_e=10 x t_a=25) over the test
+   views TWICE on the SAME trained params and the SAME per-view PRNG keys —
+   once with the f32 reference-parity model, once with
+   dtype=bf16/head_dtype=bf16 (params stay f32 in both; only compute dtype
+   differs, so the comparison is exactly paired: identical dropout masks,
+   identical sampler draws given identical (mu, cov)),
+3. reports per-field deltas: mu / posterior-mu shift (px), sigma relative
+   error, Dice(f32, bf16) of the predicted labelmaps, both modes' Dice vs GT,
+   umap/entropy deltas, and instant-uncertainty scalar drift.
+
+Usage:
+  python tools/bf16_accuracy.py [--ckpt PATH] [--epochs N] [--skew]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dice(a: np.ndarray, b: np.ndarray) -> float:
+    a = a > 0
+    b = b > 0
+    denom = a.sum() + b.sum()
+    return float(2.0 * (a & b).sum() / denom) if denom else 1.0
+
+
+def train_flagship(epochs: int, skew: bool, image_size: int = 256,
+                   batch_size: int = 16):
+    from contouring_uncertainty_tpu.runner import run
+
+    task = "dsnt-skew5" if skew else "dsnt-al"
+    result = run([
+        "data=synthetic", f"data.image_size={image_size}", f"task={task}",
+        "task.model.drop_block=True", "task.t_a=10",
+        f"trainer.batch_size={batch_size}", f"trainer.max_epochs={epochs}",
+        "trainer.patience=100", "test=false", "predict=false",
+    ])
+    return result["ckpt_path"]
+
+
+def build_predictor(ckpt: str, bf16: bool, skew: bool, t_a: int = 25,
+                    t_e: int = 10):
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+    from contouring_uncertainty_tpu.sampler.psm_skew import (
+        SkewPosteriorShapeModelSampler,
+    )
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+    from contouring_uncertainty_tpu.train.checkpoint import restore_checkpoint
+
+    data = CamusContourData(os.environ.get("SYNTH_DATA_PATH", "/tmp/cutpu_synth.h5"),
+                            fold=5)
+    model_kwargs = {"drop_block": True}
+    if bf16:
+        model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+    if skew:
+        task = DSNTSkew(data_params=data.data_params, t_a=t_a, t_e=t_e,
+                        model_kwargs=model_kwargs)
+    else:
+        task = DSNTAleatoric(data_params=data.data_params, t_a=t_a, t_e=t_e,
+                             model_kwargs=model_kwargs)
+    model = task.build_model()
+    c, h, w = task.data_params.in_shape
+    init = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, c, h, w)))
+    variables = restore_checkpoint(ckpt, init)
+    prior = get_or_fit_prior(data, None)
+    if skew:
+        sampler = SkewPosteriorShapeModelSampler(
+            prior, skew_indices=task.skew_indices, image_extent=255.0)
+    else:
+        sampler = PosteriorShapeModelSampler(prior)
+    return AleatoricPredictor(task, model, sampler), data, variables
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--t-a", type=int, default=25)
+    ap.add_argument("--t-e", type=int, default=10)
+    args = ap.parse_args()
+
+    from contouring_uncertainty_tpu.utils.backend import ensure_backend
+
+    ensure_backend(wait_budget_s=600, label="bf16_accuracy")
+
+    ckpt = args.ckpt or train_flagship(args.epochs, args.skew,
+                                       args.image_size, args.batch_size)
+    print(f"checkpoint: {ckpt}")
+
+    outs = {}
+    for mode in ("f32", "bf16"):
+        predictor, data, variables = build_predictor(
+            ckpt, bf16=(mode == "bf16"), skew=args.skew,
+            t_a=args.t_a, t_e=args.t_e)
+        views = list(data.predict_views("test"))
+        key = jax.random.key(0)
+        res = []
+        for i, v in enumerate(views):
+            out = predictor(variables, jnp.asarray(v["img"]),
+                            jax.random.fold_in(key, i))
+
+            def to_np(x):
+                if isinstance(x, dict):
+                    return {k: np.asarray(v) for k, v in x.items()}
+                return np.asarray(x)
+
+            res.append({k: to_np(val) for k, val in out.items()
+                        if val is not None})
+        outs[mode] = (res, views)
+        print(f"{mode}: {len(res)} views predicted")
+
+    res32, views = outs["f32"]
+    res16, _ = outs["bf16"]
+    mu_d, post_mu_d, sig_rel, mode_d = [], [], [], []
+    dice_pair, dice32, dice16 = [], [], []
+    umap_d, ent_d = [], []
+    iu_drift = {}
+    for r32, r16, v in zip(res32, res16, views):
+        mu_d.append(np.abs(r32["mu"] - r16["mu"]).max())
+        post_mu_d.append(np.abs(r32["post_mu"] - r16["post_mu"]).max())
+        mode_d.append(np.abs(r32["mode"] - r16["mode"]).max())
+        scale = (r32["cov"][..., 0, 0] + r32["cov"][..., 1, 1])[..., None, None] / 2
+        sig_rel.append((np.abs(r32["cov"] - r16["cov"]) / scale).max())
+        gt = np.asarray(v["gt"])
+        for n in range(r32["pred"].shape[0]):
+            dice_pair.append(dice(r32["pred"][n], r16["pred"][n]))
+            dice32.append(dice(r32["pred"][n], gt[n]))
+            dice16.append(dice(r16["pred"][n], gt[n]))
+        umap_d.append(np.abs(r32["uncertainty_map"] - r16["uncertainty_map"]).max())
+        ent_d.append(np.abs(r32["entropy_map"] - r16["entropy_map"]).max())
+        iu32 = r32["instant_uncertainty"]
+        iu16 = r16["instant_uncertainty"]
+        if isinstance(iu32, dict):
+            for k in iu32:
+                a, b = float(np.mean(iu32[k])), float(np.mean(iu16[k]))
+                iu_drift.setdefault(k, []).append(
+                    abs(a - b) / (abs(a) + 1e-12))
+
+    print("\n=== paired f32-vs-bf16 deltas (trained model, TMI budget) ===")
+    print(f"mu shift        max {max(mu_d):.4f} px   mean {np.mean(mu_d):.4f}")
+    print(f"mode shift      max {max(mode_d):.4f} px")
+    print(f"post_mu shift   max {max(post_mu_d):.4f} px")
+    print(f"sigma rel err   max {max(sig_rel):.4f}   mean {np.mean(sig_rel):.4f}")
+    print(f"Dice(f32,bf16)  min {min(dice_pair):.5f}  mean {np.mean(dice_pair):.5f}")
+    print(f"Dice vs GT      f32 {np.mean(dice32):.5f}  bf16 {np.mean(dice16):.5f}  "
+          f"delta {np.mean(dice32) - np.mean(dice16):+.5f}")
+    print(f"umap max diff   {max(umap_d):.5f}")
+    print(f"entropy max diff {max(ent_d):.5f}")
+    if iu_drift:
+        worst = sorted(((np.mean(v), k) for k, v in iu_drift.items()),
+                       reverse=True)[:6]
+        print("instant-uncertainty scalar rel drift (worst):")
+        for val, k in worst:
+            print(f"  {k:32s} {val:.4%}")
+
+
+if __name__ == "__main__":
+    main()
