@@ -21,6 +21,10 @@ the fast serving mode can become a recommended default:
 
 Usage:
   python tools/bf16_accuracy.py [--ckpt PATH] [--epochs N] [--skew]
+                                [--modes f32,bf16,mixed]
+
+Modes: `bf16` = dtype=bf16 + head_dtype=bf16 (the opt-in fast serving mode);
+`mixed` = bf16 trunk + f32 head/DSNT (isolates the sigma-error source).
 """
 
 from __future__ import annotations
@@ -57,7 +61,7 @@ def train_flagship(epochs: int, skew: bool, image_size: int = 256,
     return result["ckpt_path"]
 
 
-def build_predictor(ckpt: str, bf16: bool, skew: bool, t_a: int = 25,
+def build_predictor(ckpt: str, mode: str, skew: bool, t_a: int = 25,
                     t_e: int = 10):
     from contouring_uncertainty_tpu.data.camus import CamusContourData
     from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
@@ -72,8 +76,15 @@ def build_predictor(ckpt: str, bf16: bool, skew: bool, t_a: int = 25,
     data = CamusContourData(os.environ.get("SYNTH_DATA_PATH", "/tmp/cutpu_synth.h5"),
                             fold=5)
     model_kwargs = {"drop_block": True}
-    if bf16:
+    if mode == "bf16":
         model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+    elif mode == "mixed":
+        # bf16 trunk, f32 head conv + f32 XLA DSNT branch — isolates whether
+        # the sigma error of the full-bf16 mode comes from the trunk logits
+        # or from the bf16 head/moment path.
+        model_kwargs.update(dtype=jnp.bfloat16)
+    elif mode != "f32":
+        raise ValueError(mode)
     if skew:
         task = DSNTSkew(data_params=data.data_params, t_a=t_a, t_e=t_e,
                         model_kwargs=model_kwargs)
@@ -102,6 +113,9 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--t-a", type=int, default=25)
     ap.add_argument("--t-e", type=int, default=10)
+    ap.add_argument("--modes", default="f32,bf16",
+                    help="comma list from {f32,bf16,mixed}; f32 is the "
+                         "pairing reference and is always run")
     args = ap.parse_args()
 
     from contouring_uncertainty_tpu.utils.backend import ensure_backend
@@ -112,17 +126,22 @@ def main():
                                        args.image_size, args.batch_size)
     print(f"checkpoint: {ckpt}")
 
+    modes = ["f32"] + [m for m in args.modes.split(",") if m and m != "f32"]
     outs = {}
-    for mode in ("f32", "bf16"):
+    for mode in modes:
+        import time
+
         predictor, data, variables = build_predictor(
-            ckpt, bf16=(mode == "bf16"), skew=args.skew,
-            t_a=args.t_a, t_e=args.t_e)
+            ckpt, mode=mode, skew=args.skew, t_a=args.t_a, t_e=args.t_e)
         views = list(data.predict_views("test"))
         key = jax.random.key(0)
         res = []
+        t0 = None
         for i, v in enumerate(views):
             out = predictor(variables, jnp.asarray(v["img"]),
                             jax.random.fold_in(key, i))
+            if i == 0:
+                t0 = time.perf_counter()  # exclude first-view compile
 
             def to_np(x):
                 if isinstance(x, dict):
@@ -131,52 +150,55 @@ def main():
 
             res.append({k: to_np(val) for k, val in out.items()
                         if val is not None})
+        wall = (time.perf_counter() - t0) / max(len(views) - 1, 1)
         outs[mode] = (res, views)
-        print(f"{mode}: {len(res)} views predicted")
+        print(f"{mode}: {len(res)} views predicted "
+              f"({wall * 1e3:.1f} ms/view incl. host fetch)")
 
     res32, views = outs["f32"]
-    res16, _ = outs["bf16"]
-    mu_d, post_mu_d, sig_rel, mode_d = [], [], [], []
-    dice_pair, dice32, dice16 = [], [], []
-    umap_d, ent_d = [], []
-    iu_drift = {}
-    for r32, r16, v in zip(res32, res16, views):
-        mu_d.append(np.abs(r32["mu"] - r16["mu"]).max())
-        post_mu_d.append(np.abs(r32["post_mu"] - r16["post_mu"]).max())
-        mode_d.append(np.abs(r32["mode"] - r16["mode"]).max())
-        scale = (r32["cov"][..., 0, 0] + r32["cov"][..., 1, 1])[..., None, None] / 2
-        sig_rel.append((np.abs(r32["cov"] - r16["cov"]) / scale).max())
-        gt = np.asarray(v["gt"])
-        for n in range(r32["pred"].shape[0]):
-            dice_pair.append(dice(r32["pred"][n], r16["pred"][n]))
-            dice32.append(dice(r32["pred"][n], gt[n]))
-            dice16.append(dice(r16["pred"][n], gt[n]))
-        umap_d.append(np.abs(r32["uncertainty_map"] - r16["uncertainty_map"]).max())
-        ent_d.append(np.abs(r32["entropy_map"] - r16["entropy_map"]).max())
-        iu32 = r32["instant_uncertainty"]
-        iu16 = r16["instant_uncertainty"]
-        if isinstance(iu32, dict):
-            for k in iu32:
-                a, b = float(np.mean(iu32[k])), float(np.mean(iu16[k]))
-                iu_drift.setdefault(k, []).append(
-                    abs(a - b) / (abs(a) + 1e-12))
+    for mode in modes[1:]:
+        resm, _ = outs[mode]
+        mu_d, post_mu_d, sig_rel, mode_d = [], [], [], []
+        dice_pair, dice32, dicem = [], [], []
+        umap_d, ent_d = [], []
+        iu_drift = {}
+        for r32, rm, v in zip(res32, resm, views):
+            mu_d.append(np.abs(r32["mu"] - rm["mu"]).max())
+            post_mu_d.append(np.abs(r32["post_mu"] - rm["post_mu"]).max())
+            mode_d.append(np.abs(r32["mode"] - rm["mode"]).max())
+            scale = (r32["cov"][..., 0, 0] + r32["cov"][..., 1, 1])[..., None, None] / 2
+            sig_rel.append((np.abs(r32["cov"] - rm["cov"]) / scale).max())
+            gt = np.asarray(v["gt"])
+            for n in range(r32["pred"].shape[0]):
+                dice_pair.append(dice(r32["pred"][n], rm["pred"][n]))
+                dice32.append(dice(r32["pred"][n], gt[n]))
+                dicem.append(dice(rm["pred"][n], gt[n]))
+            umap_d.append(np.abs(r32["uncertainty_map"] - rm["uncertainty_map"]).max())
+            ent_d.append(np.abs(r32["entropy_map"] - rm["entropy_map"]).max())
+            iu32 = r32["instant_uncertainty"]
+            ium = rm["instant_uncertainty"]
+            if isinstance(iu32, dict):
+                for k in iu32:
+                    a, b = float(np.mean(iu32[k])), float(np.mean(ium[k]))
+                    iu_drift.setdefault(k, []).append(
+                        abs(a - b) / (abs(a) + 1e-12))
 
-    print("\n=== paired f32-vs-bf16 deltas (trained model, TMI budget) ===")
-    print(f"mu shift        max {max(mu_d):.4f} px   mean {np.mean(mu_d):.4f}")
-    print(f"mode shift      max {max(mode_d):.4f} px")
-    print(f"post_mu shift   max {max(post_mu_d):.4f} px")
-    print(f"sigma rel err   max {max(sig_rel):.4f}   mean {np.mean(sig_rel):.4f}")
-    print(f"Dice(f32,bf16)  min {min(dice_pair):.5f}  mean {np.mean(dice_pair):.5f}")
-    print(f"Dice vs GT      f32 {np.mean(dice32):.5f}  bf16 {np.mean(dice16):.5f}  "
-          f"delta {np.mean(dice32) - np.mean(dice16):+.5f}")
-    print(f"umap max diff   {max(umap_d):.5f}")
-    print(f"entropy max diff {max(ent_d):.5f}")
-    if iu_drift:
-        worst = sorted(((np.mean(v), k) for k, v in iu_drift.items()),
-                       reverse=True)[:6]
-        print("instant-uncertainty scalar rel drift (worst):")
-        for val, k in worst:
-            print(f"  {k:32s} {val:.4%}")
+        print(f"\n=== paired f32-vs-{mode} deltas (trained model, TMI budget) ===")
+        print(f"mu shift        max {max(mu_d):.4f} px   mean {np.mean(mu_d):.4f}")
+        print(f"mode shift      max {max(mode_d):.4f} px")
+        print(f"post_mu shift   max {max(post_mu_d):.4f} px")
+        print(f"sigma rel err   max {max(sig_rel):.4f}   mean {np.mean(sig_rel):.4f}")
+        print(f"Dice(f32,{mode})  min {min(dice_pair):.5f}  mean {np.mean(dice_pair):.5f}")
+        print(f"Dice vs GT      f32 {np.mean(dice32):.5f}  {mode} {np.mean(dicem):.5f}  "
+              f"delta {np.mean(dice32) - np.mean(dicem):+.5f}")
+        print(f"umap max diff   {max(umap_d):.5f}")
+        print(f"entropy max diff {max(ent_d):.5f}")
+        if iu_drift:
+            worst = sorted(((np.mean(v), k) for k, v in iu_drift.items()),
+                           reverse=True)[:6]
+            print("instant-uncertainty scalar rel drift (worst):")
+            for val, k in worst:
+                print(f"  {k:32s} {val:.4%}")
 
 
 if __name__ == "__main__":
