@@ -242,9 +242,9 @@ def _bench_aggregate_serving() -> dict:
 
 
 def _parity_checks() -> dict:
-    """On-chip parity of the two approximate/custom compute paths (VERDICT r2
-    weak #5 / ADVICE r2): compiled Pallas DSNT vs the XLA path, and
-    approx_min_k scanline selection vs exact top_k. Runs on whatever backend
+    """On-chip parity of the custom compute paths (VERDICT r2 weak #5 /
+    ADVICE r2): compiled Pallas DSNT vs the XLA path, and the Pallas min-k
+    scanline selection vs exact XLA top_k. Runs on whatever backend
     bench runs on (the real TPU under the driver), so compiled-kernel
     regressions land in BENCH_r*.json instead of hiding behind CPU
     interpret mode."""

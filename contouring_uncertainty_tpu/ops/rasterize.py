@@ -18,8 +18,9 @@ Everything is static-shape, O(E*H + H*W*MAX_CROSSINGS) VPU work per mask and
 vmaps over (batch, T_e, T_a) sample populations — the reference looped this
 per sample on host (N*T_e*T_a scipy calls, SURVEY §2.6 #4).
 
-Boundary pixels (which binary_fill_holes also marks) are added by scattering
-the rounded dense polygon onto the grid.
+Boundary pixels (which binary_fill_holes also marks) are added by a one-hot
+matmul over the rounded dense polygon (bit-exact scatter replacement — see
+polygon_fill).
 """
 
 from __future__ import annotations
@@ -33,13 +34,14 @@ from contouring_uncertainty_tpu.ops.spline import contour_spline
 
 MAX_CROSSINGS = 16
 
-# TPU scanline crossing selection: approx_min_k (hardware binned min-k,
-# measured 1.9x the exact top_k) vs exact top_k. The approximation's
-# guarantee is statistical, and a single dropped crossing flips even-odd
-# parity for the rest of its scanline — so the approx path is (a) gated
-# behind this switch (env CUTPU_EXACT_TOPK=1 forces exact everywhere) and
-# (b) continuously checked on real TPU by `approx_parity_check`, which
-# bench.py runs and reports in the driver's BENCH_r*.json.
+# TPU scanline crossing selection: the fused exact min-k Pallas kernel
+# (ops/pallas_select.py) vs XLA exact top_k. BOTH paths are exact — the
+# round-3 approx_min_k default this switch used to gate was replaced by the
+# kernel (git history; docs/PERF_NOTES.md). The switch remains because the
+# CPU/test suite pins the XLA path for oracle bit-stability
+# (env CUTPU_EXACT_TOPK=1 forces it everywhere), and `approx_parity_check`
+# still cross-checks the two paths on real TPU each bench run
+# (reported as rasterize_approx_mismatch_px in BENCH_r*.json; must stay 0).
 _EXACT_TOPK_ENV = "CUTPU_EXACT_TOPK"
 
 
@@ -154,14 +156,18 @@ def rasterize_linear(points: jnp.ndarray, height: int, width: int,
 
 def approx_parity_check(n_contours: int = 64, height: int = 256,
                         width: int = 256, seed: int = 0) -> int:
-    """Compare approx_min_k and exact top_k fills on the CURRENT backend.
+    """Compare the Pallas min-k and XLA top_k fills on the CURRENT backend.
 
     Draws `n_contours` noisy/zigzag closed contours (the degenerate shapes
-    most likely to cluster crossings into one approx bucket), rasterizes each
-    through both selection paths, and returns the total number of mismatching
-    pixels (0 = pixel-exact parity). Run on real TPU by bench.py so a
-    compiled approx_min_k regression surfaces in the driver artifacts instead
-    of hiding behind CPU interpret-mode tests (VERDICT r2 weak #5 pattern).
+    with the most crossings per scanline), rasterizes each through both
+    selection paths, and returns the total number of mismatching pixels
+    (both paths are exact, so anything but 0 is a bug). Run on real TPU by
+    bench.py so a compiled-kernel regression surfaces in the driver
+    artifacts instead of hiding behind CPU interpret-mode tests (VERDICT r2
+    weak #5 pattern). The name predates the exact Pallas kernel — it
+    originally gated the since-replaced approx_min_k path — and is kept
+    because the bench JSON key (rasterize_approx_mismatch_px) is tracked
+    across rounds.
     """
     import numpy as np
 

@@ -103,11 +103,12 @@ def test_rasterize_is_jit_compatible_under_vmap_grad_free():
 
 
 def test_approx_selection_matches_exact_fill():
-    """The approx_min_k crossing selection (ops/rasterize.py polygon_fill,
-    exact_topk=False, E=1024) must be pixel-exact vs the exact top_k path on
-    degenerate zigzag contours. On CPU approx_min_k lowers to an exact
-    selection, so this pins the selection plumbing; the compiled TPU binning
-    is additionally checked on-chip by bench.py's approx_parity_check."""
+    """The Pallas min-k crossing selection (ops/rasterize.py polygon_fill,
+    exact_topk=False, E=1024 -> ops/pallas_select.py) must be pixel-exact vs
+    the XLA top_k path on degenerate zigzag contours. On CPU the kernel runs
+    in interpret mode, so this pins the selection algorithm; the
+    Mosaic-compiled TPU kernel is additionally checked on-chip by bench.py's
+    approx_parity_check."""
     from contouring_uncertainty_tpu.ops.rasterize import approx_parity_check
 
     assert approx_parity_check(n_contours=16) == 0
