@@ -128,6 +128,11 @@ def main():
     except Exception as exc:
         line["predict_views_per_sec_skew_error"] = f"{type(exc).__name__}: {exc}"
     try:
+        line["predict_views_per_sec_batched4"] = round(
+            _bench_predict_pipeline(batch_views=4), 2)
+    except Exception as exc:
+        line["predict_views_per_sec_batched4_error"] = f"{type(exc).__name__}: {exc}"
+    try:
         line.update(_parity_checks())
     except Exception as exc:
         line["parity_error"] = f"{type(exc).__name__}: {exc}"
@@ -299,7 +304,8 @@ def _parity_checks() -> dict:
     return out
 
 
-def _bench_predict_pipeline(bf16: bool = False, skew: bool = False) -> float:
+def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
+                            batch_views: int = 1) -> float:
     """Secondary metric: full uncertainty-propagation throughput (views/s) at
     the TMI evaluation budget (t_e=10 epistemic forwards x t_a=25 PSM contour
     samples, 21 landmarks @ 256^2) — the reference's Stack-2 hot path runs
@@ -312,7 +318,12 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False) -> float:
     the remaining big lever (docs/PERF_NOTES.md).
 
     `skew=True` measures the MICCAI-headline skew pipeline instead (DSNTSkew
-    + closed-form ESN skew sampling + skew umaps)."""
+    + closed-form ESN skew sampling + skew umaps).
+
+    `batch_views=V > 1` measures the single-chip throughput mode
+    (cfg predict_batch_views: V views vmapped per dispatch — the view step
+    only feeds batch-20 forwards, so stacking views recovers the large-batch
+    serving rate; V=4 measured as the throughput point on v5e)."""
     import tempfile
 
     from contouring_uncertainty_tpu.data.camus import CamusContourData
@@ -352,6 +363,23 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False) -> float:
         # that diluted the metric ~3x vs the device envelope
         # (tools/trace_breakdown.py measures the same predictor call at the
         # true step wall).
+        if batch_views > 1:
+            n_steps = 8
+            imgs = jnp.stack([views[i % len(views)] for i in range(batch_views)])
+            bkeys = jnp.stack([jax.random.fold_in(key, i)
+                               for i in range(batch_views)])
+            np.asarray(jax.random.key_data(bkeys[-1]))  # host sync: staged
+            out = predictor.batched(variables, imgs, bkeys)  # compile + warm
+            _sync((out["pred"],))
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(n_steps):
+                    out = predictor.batched(variables, imgs, bkeys)
+                _sync((out["pred"],))
+                best = max(best,
+                           batch_views * n_steps / (time.perf_counter() - t0))
+            return best
         n_iters = 24
         keys = [jax.random.fold_in(key, i) for i in range(n_iters)]
         np.asarray(jax.random.key_data(keys[-1]))  # host sync: keys staged

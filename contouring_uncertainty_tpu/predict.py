@@ -409,28 +409,38 @@ class SegPredictor(_ViewPredictor):
         }
 
 
-def _run_predictor(predictor, variables, views, key) -> List[Dict]:
-    """Run a predictor over a view list, via the mesh-sharded batched path
-    when the predictor carries a multi-device mesh.
+def _run_predictor(predictor, variables, views, key,
+                   views_per_step: int = 1) -> List[Dict]:
+    """Run a predictor over a view list, via the vmapped batched path when
+    more than one view fits per dispatch.
 
-    Views are grouped by image shape into chunks of V = data-axis size
-    (ragged tails padded by repeating the last view; padding outputs are
-    dropped). Every view keeps its position-derived fold_in(key, vi) key, so
+    Views are grouped by image shape into chunks of
+    V = views_per_step x data-axis size (ragged tails padded by repeating the
+    last view; padding outputs are dropped). `views_per_step > 1` batches
+    views per DEVICE: the TMI-budget view step only feeds the MXU batch-20
+    forwards, so stacking views recovers most of the large-batch serving
+    rate (measured round 3 on v5e: V=4 is the single-chip throughput point,
+    35 -> 57 views/s; V=8 is flat). With a multi-device mesh the stacked
+    views are additionally sharded one group per chip (parallel/serving.py).
+    Every view keeps its position-derived fold_in(key, vi) key, so
     the outputs match the sequential path regardless of grouping — to f32
     tolerance, not bitwise: the vmapped compilation re-associates the
     rasterizer's crossing math, so isolated thresholded fill-boundary pixels
     can flip (tests/test_parallel.py bounds the mask mismatch).
     """
-    if predictor.mesh is None or predictor.mesh.devices.size == 1:
+    n_dev = 1
+    if predictor.mesh is not None:
+        from contouring_uncertainty_tpu.parallel.mesh import DATA_AXIS
+
+        n_dev = predictor.mesh.shape[DATA_AXIS]
+    v_per_step = max(int(views_per_step), 1) * n_dev
+    if v_per_step == 1:
         return [
             jax.tree.map(np.asarray, predictor(
                 variables, jnp.asarray(v[Tags.img]), jax.random.fold_in(key, vi)
             ))
             for vi, v in enumerate(views)
         ]
-    from contouring_uncertainty_tpu.parallel.mesh import DATA_AXIS
-
-    v_per_step = predictor.mesh.shape[DATA_AXIS]
     groups: Dict[tuple, List[int]] = {}
     for vi, v in enumerate(views):
         groups.setdefault(tuple(np.asarray(v[Tags.img]).shape), []).append(vi)
@@ -453,7 +463,8 @@ def run_predict_segmentation(task, variables, data, cfg, split: str = "test",
     predictor = SegPredictor(task, model, mesh=mesh)
     key = jax.random.key(cfg.get("seed", 10))
     views = list(data.predict_views(split))
-    outs = _run_predictor(predictor, variables, views, key)
+    outs = _run_predictor(predictor, variables, views, key,
+                          views_per_step=int(cfg.get("predict_batch_views", 1) or 1))
     results = []
     for view, out in zip(views, outs):
         results.append(BatchResult(
@@ -482,7 +493,9 @@ def run_predict(task, variables, data, cfg, split: str = "test",
     per chip over the mesh's data axis (parallel/serving.py), matching the
     sequential path to f32 tolerance (asserted by tests/test_parallel.py
     mesh(1)-vs-mesh(8) inference equivalence, incl. a small boundary-pixel
-    budget on the thresholded masks)."""
+    budget on the thresholded masks). `cfg.predict_batch_views > 1`
+    additionally batches that many views per device per dispatch (single-chip
+    throughput mode; same equivalence budgets)."""
     from contouring_uncertainty_tpu.tasks.segmentation import SegmentationUncertaintyTask
 
     if isinstance(task, SegmentationUncertaintyTask):
@@ -537,7 +550,8 @@ def run_predict(task, variables, data, cfg, split: str = "test",
                     f"{np.asarray(view[Tags.img]).shape[0]} frames. Disable "
                     f"task.sequence_sampler or restrict views to ED/ES."
                 )
-    outs = _run_predictor(predictor, variables, views, key)
+    outs = _run_predictor(predictor, variables, views, key,
+                          views_per_step=int(cfg.get("predict_batch_views", 1) or 1))
     results = []
     for view, out in zip(views, outs):
         res = BatchResult(

@@ -68,23 +68,15 @@ def _make_predict_setup(tmp_path):
     return run_predict, task, variables, data, cfg
 
 
-def test_mesh_inference_equivalence(tmp_path):
-    """DP serving correctness: run_predict on mesh(8) (one view per chip via
-    the vmapped+sharded batched path, incl. ragged-tail padding) must produce
-    the same BatchResults as the sequential single-device path — same
-    per-view fold_in keys, so continuous outputs agree to f32 tolerance.
-    The thresholded `pred` mask and the sample-population outputs get small
-    mismatch BUDGETS instead of bit-equality: the vmapped compilation
-    re-associates f32 math, which (a) flips isolated rasterizer
-    fill-boundary pixels (~1-ulp crossing shifts) and (b) near the
-    fill-step solve's f32 conditioning limit for this UNTRAINED model,
-    shifts a few sampled points by O(0.1 px), moving ~1-px rings of the
-    6-sample mean mask (observed up to ~20/8192 px)."""
-    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
-
-    seq = run_predict(task, variables, data, cfg)
-    par = run_predict(task, variables, data, cfg, mesh=make_mesh(8))
-
+def _assert_batchresult_equivalence(seq, par):
+    """Shared sequential-vs-batched budgets: same per-view fold_in keys, so
+    continuous outputs agree to f32 tolerance. The thresholded `pred` mask
+    and the sample-population outputs get small mismatch BUDGETS instead of
+    bit-equality: the vmapped compilation re-associates f32 math, which
+    (a) flips isolated rasterizer fill-boundary pixels (~1-ulp crossing
+    shifts) and (b) near the fill-step solve's f32 conditioning limit for
+    this UNTRAINED model, shifts a few sampled points by O(0.1 px), moving
+    ~1-px rings of the 6-sample mean mask (observed up to ~20/8192 px)."""
     assert len(seq) == len(par) > 0
     for a, b in zip(seq, par):
         assert a.id == b.id
@@ -124,6 +116,31 @@ def test_mesh_inference_equivalence(tmp_path):
             # other scalars are deterministic in the forward's mu/cov.
             rtol = 0.15 if k == "entropy_mean" else 0.05
             np.testing.assert_allclose(ua, ub, rtol=rtol, atol=1e-3, err_msg=k)
+
+
+def test_mesh_inference_equivalence(tmp_path):
+    """DP serving correctness: run_predict on mesh(8) (one view per chip via
+    the vmapped+sharded batched path, incl. ragged-tail padding) must produce
+    the same BatchResults as the sequential single-device path (budgets:
+    _assert_batchresult_equivalence)."""
+    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
+
+    seq = run_predict(task, variables, data, cfg)
+    par = run_predict(task, variables, data, cfg, mesh=make_mesh(8))
+    _assert_batchresult_equivalence(seq, par)
+
+
+def test_single_device_view_batching_equivalence(tmp_path):
+    """Single-chip throughput mode (cfg predict_batch_views > 1): batching
+    V views per dispatch through the vmapped path — no mesh — must match the
+    sequential path to the same budgets. V=3 over the 6-view split also
+    exercises grouping without mesh padding; the ragged tail (views % V != 0)
+    is covered by the mesh test's padding path."""
+    run_predict, task, variables, data, cfg = _make_predict_setup(tmp_path)
+
+    seq = run_predict(task, variables, data, cfg)
+    bat = run_predict(task, variables, data, {**cfg, "predict_batch_views": 3})
+    _assert_batchresult_equivalence(seq, bat)
 
 
 def test_sample_axis_latency_mode_equivalence(tmp_path):
