@@ -189,6 +189,41 @@ def build_seq(batch):
     )
 
 
+def build_batched(batch):
+    """Single-chip view-batching predict step (cfg predict_batch_views):
+    `batch` = V views vmapped per dispatch through `predictor.batched` (no
+    mesh). The us/frame column reads as us/VIEW here. Traces why V=8 is
+    flat vs V=4 (bench predict_views_per_sec_batched4)."""
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor, get_or_fit_prior)
+
+    tmp = tempfile.mkdtemp()
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = _tmi_task(data, DSNTAleatoric)
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    predictor = AleatoricPredictor(task, model,
+                                   PosteriorShapeModelSampler(prior))
+    views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
+    imgs = jnp.stack([views[i % len(views)] for i in range(batch)])
+    keys = jnp.stack([jax.random.fold_in(jax.random.key(0), i)
+                      for i in range(batch)])
+
+    def step():
+        out = predictor.batched(variables, imgs, keys)
+        return (out["pred"],)
+
+    return step
+
+
 def build_lung(batch):
     """JSRT multi-structure uncertainty-propagation view step (120 landmarks,
     3 structures — right lung / left lung / heart rasterized independently)
@@ -294,7 +329,7 @@ def main_builders():
     HLO always corresponds to the workload this tool traces)."""
     return {"serve": build_serve, "train": build_train,
             "predict": build_predict, "skew": build_skew,
-            "skewgrid": build_skewgrid,
+            "skewgrid": build_skewgrid, "batched": build_batched,
             "seq": build_seq, "lung": build_lung}
 
 
@@ -303,6 +338,7 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         512 if mode == "serve" else
         2 if mode in ("predict", "skew", "skewgrid", "seq") else
+        4 if mode == "batched" else
         1 if mode == "lung" else 64)
     step = main_builders()[mode](batch)
 
