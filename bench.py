@@ -133,6 +133,16 @@ def main():
     except Exception as exc:
         line["predict_views_per_sec_batched4_error"] = f"{type(exc).__name__}: {exc}"
     try:
+        # Max single-chip serving mode: bf16 forwards + fused Pallas head +
+        # 4-view batching compose (measured 70.4 views/s vs 56.6 f32-batched
+        # and 44.1 bf16-sequential) — the number a throughput-bound user gets
+        # when they accept the bf16 accuracy contract (docs/PERF_NOTES.md).
+        line["predict_views_per_sec_batched4_bf16"] = round(
+            _bench_predict_pipeline(bf16=True, batch_views=4), 2)
+    except Exception as exc:
+        line["predict_views_per_sec_batched4_bf16_error"] = (
+            f"{type(exc).__name__}: {exc}")
+    try:
         line.update(_parity_checks())
     except Exception as exc:
         line["parity_error"] = f"{type(exc).__name__}: {exc}"
