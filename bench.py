@@ -373,8 +373,11 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
         # that diluted the metric ~3x vs the device envelope
         # (tools/trace_breakdown.py measures the same predictor call at the
         # true step wall).
+        # Timing protocol (CLAUDE.md): enqueue >=32 calls per window so the
+        # single ~30-45 ms dispatch+sync round-trip amortizes below ~1.5%,
+        # and take best-of-3 windows against the chip's run-to-run variance.
         if batch_views > 1:
-            n_steps = 8
+            n_steps = 32
             imgs = jnp.stack([views[i % len(views)] for i in range(batch_views)])
             bkeys = jnp.stack([jax.random.fold_in(key, i)
                                for i in range(batch_views)])
@@ -382,7 +385,7 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
             out = predictor.batched(variables, imgs, bkeys)  # compile + warm
             _sync((out["pred"],))
             best = 0.0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
                     out = predictor.batched(variables, imgs, bkeys)
@@ -390,13 +393,13 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
                 best = max(best,
                            batch_views * n_steps / (time.perf_counter() - t0))
             return best
-        n_iters = 24
+        n_iters = 32
         keys = [jax.random.fold_in(key, i) for i in range(n_iters)]
         np.asarray(jax.random.key_data(keys[-1]))  # host sync: keys staged
         outs = [predictor(variables, views[0], key)]  # compile + warm
         _sync((outs[-1]["pred"],))
         best = 0.0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             outs = [
                 predictor(variables, views[i % len(views)], keys[i])

@@ -409,6 +409,13 @@ class SegPredictor(_ViewPredictor):
         }
 
 
+def _cfg_views_per_step(cfg) -> int:
+    """Parse `predict_batch_views` once for every predict entry point
+    (run_predict / run_predict_segmentation must never diverge on the key
+    name, default, or guard)."""
+    return max(int(cfg.get("predict_batch_views", 1) or 1), 1)
+
+
 def _run_predictor(predictor, variables, views, key,
                    views_per_step: int = 1) -> List[Dict]:
     """Run a predictor over a view list, via the vmapped batched path when
@@ -464,7 +471,7 @@ def run_predict_segmentation(task, variables, data, cfg, split: str = "test",
     key = jax.random.key(cfg.get("seed", 10))
     views = list(data.predict_views(split))
     outs = _run_predictor(predictor, variables, views, key,
-                          views_per_step=int(cfg.get("predict_batch_views", 1) or 1))
+                          views_per_step=_cfg_views_per_step(cfg))
     results = []
     for view, out in zip(views, outs):
         results.append(BatchResult(
@@ -551,7 +558,7 @@ def run_predict(task, variables, data, cfg, split: str = "test",
                     f"task.sequence_sampler or restrict views to ED/ES."
                 )
     outs = _run_predictor(predictor, variables, views, key,
-                          views_per_step=int(cfg.get("predict_batch_views", 1) or 1))
+                          views_per_step=_cfg_views_per_step(cfg))
     results = []
     for view, out in zip(views, outs):
         res = BatchResult(

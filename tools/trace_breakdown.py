@@ -108,10 +108,12 @@ def build_train(batch):
     return step
 
 
-def _make_view_step(make_task, make_sampler):
-    """Shared setup for the uncertainty-propagation trace modes: synthetic
-    256^2 CAMUS data, a TMI-budget task (t_e=10 x t_a=25) from `make_task`,
-    a sampler from `make_sampler(task, prior, data)`, and a one-view step."""
+def _make_predictor(make_task, make_sampler):
+    """Shared TMI-budget predictor setup for the uncertainty-propagation
+    trace modes: synthetic 256^2 CAMUS data, a task from `make_task(data)`,
+    a sampler from `make_sampler(task, prior, data)`. Returns
+    (predictor, variables, views) — the sequential and view-batched step
+    builders below both derive from this so they can never drift apart."""
     from contouring_uncertainty_tpu.data.camus import CamusContourData
     from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
     from contouring_uncertainty_tpu.predict import (
@@ -127,7 +129,15 @@ def _make_view_step(make_task, make_sampler):
     prior = get_or_fit_prior(data, None)
     sampler = make_sampler(task, prior, data)
     predictor = AleatoricPredictor(task, model, sampler)
-    view = jnp.asarray(next(iter(data.predict_views("test")))["img"])
+    views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
+    return predictor, variables, views
+
+
+def _make_view_step(make_task, make_sampler):
+    """One-view (sequential) uncertainty-propagation step at the TMI budget
+    (t_e=10 x t_a=25)."""
+    predictor, variables, views = _make_predictor(make_task, make_sampler)
+    view = views[0]
     key = jax.random.key(0)
 
     def step():
@@ -197,22 +207,10 @@ def build_batched(batch):
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import (
-        AleatoricPredictor, get_or_fit_prior)
-
-    tmp = tempfile.mkdtemp()
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-    data = CamusContourData(h5, fold=5)
-    task = _tmi_task(data, DSNTAleatoric)
-    model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((2, 1, 256, 256)))
-    prior = get_or_fit_prior(data, None)
-    predictor = AleatoricPredictor(task, model,
-                                   PosteriorShapeModelSampler(prior))
-    views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
+    predictor, variables, views = _make_predictor(
+        lambda data: _tmi_task(data, DSNTAleatoric),
+        lambda task, prior, data: PosteriorShapeModelSampler(prior),
+    )
     imgs = jnp.stack([views[i % len(views)] for i in range(batch)])
     keys = jnp.stack([jax.random.fold_in(jax.random.key(0), i)
                       for i in range(batch)])
