@@ -317,7 +317,14 @@ class UNet(nn.Module):
             decoder_outputs.append(out)
 
         upsample_out = out
-        main = OutputBlock(n_classes, self.out_seg_bias, dtype=self.dtype,
+        # The head conv computes at the WIDER of (trunk, head) dtype: for the
+        # matched configs (f32/f32, bf16/bf16) this is a no-op, but for the
+        # mixed serving mode (dtype=bf16, head_dtype=f32) it makes the head
+        # emit true f32 logits (f32 conv of the bf16 features) instead of a
+        # degenerate upcast of bf16-rounded logits — without this, mixed mode
+        # is bit-identical to full bf16 (measured: tools/bf16_accuracy.py).
+        head_compute = jnp.promote_types(self.dtype, self.head_dtype)
+        main = OutputBlock(n_classes, self.out_seg_bias, dtype=head_compute,
                            out_dtype=self.head_dtype)(out)
 
         result = {"out": jnp.transpose(main, (0, 3, 1, 2))}
