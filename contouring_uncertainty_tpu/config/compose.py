@@ -69,6 +69,10 @@ def compose(overrides: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"Override '{ov}' must look like key=value")
+        # Hydra spells force-add overrides `+key=value` / `++key=value`
+        # (reference tmi_scripts/*.sh use `++comet_tags=[...]`); our flat
+        # config has no add-vs-override distinction, so the prefix is noise.
+        ov = ov.lstrip("+")
         key, value = ov.split("=", 1)
         group_dir = config_dir / key
         option_file = group_dir / f"{value}.yaml"

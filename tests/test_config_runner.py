@@ -30,6 +30,19 @@ def test_compose_group_selection_and_overrides():
     assert cfg["choices"]["data"] == "synthetic"
 
 
+def test_compose_hydra_force_add_prefix():
+    # Reference tmi_scripts/*.sh use Hydra's `++key=value` force-add spelling
+    # (reference tmi_scripts/train.sh:8); both prefixes must compose cleanly.
+    cfg = compose([
+        "++comet_tags=[camus,TRAIN]",
+        "+extra.flag=3",
+        "task.model.drop_block=True",
+    ])
+    assert cfg["comet_tags"] == ["camus", "TRAIN"]
+    assert cfg["extra"]["flag"] == 3
+    assert cfg["task"]["model"]["drop_block"] is True
+
+
 def test_runner_fast_dev_run(tmp_path):
     from contouring_uncertainty_tpu.runner import run
 
