@@ -280,30 +280,70 @@ class UNet(nn.Module):
         return [min(2 ** (5 + i), 480) for i in range(len(self.strides))]
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None):
+    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None,
+                 mode: str = "full", prefix: Optional[dict] = None):
+        """mode selects which slice of the network runs:
+
+        - "full" (default): the whole network.
+        - "encode_prefix": only the deterministic encoder prefix — the stem
+          plus every encoder stage BEFORE the first `drop_block` stage (the
+          dropout lives in the two deepest encoder stages + bottleneck, so
+          with the flagship 8-stage net this is the FLOP-heavy 256^2..16^2
+          part). Returns {"skips": [...]} — per-sample deterministic, hence
+          identical across MC-dropout epistemic samples.
+        - "decode_from_prefix": the stochastic tail (remaining encoder
+          stages + bottleneck + decoder + heads) from `prefix` (the
+          encode_prefix output, possibly tiled along batch); `x` is ignored.
+
+        The MC-dropout predict path (tasks/dsnt_al.py) computes the prefix
+        once per frame and tiles it T_e times instead of re-running the
+        high-resolution encoder T_e times on identical inputs — an exact
+        algorithmic de-dup (the prefix has no dropout), worth ~25-30% of the
+        epistemic forward FLOPs at t_e=10.
+        """
         if deterministic is None:
             deterministic = not train
         filters = self.filters
         n_classes = self.output_shape[0]
         block = ResidBlock if self.residual else ConvBlock
-        # Accept NCHW (reference convention) and run NHWC internally.
-        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
-
-        out = block(filters[0], self.kernels[0], self.strides[0],
-                    self.negative_slope, False, dtype=self.dtype)(
-            x, deterministic=deterministic)
-        skips = [out]
         n_down = len(filters) - 2
-        for i in range(n_down):
-            # drop_block only in the two deepest encoder stages (unet2.py:303).
-            use_drop = self.drop_block and (n_down - i) <= 2
-            out = block(filters[i + 1], self.kernels[i + 1], self.strides[i + 1],
-                        self.negative_slope, use_drop, dtype=self.dtype)(
-                out, deterministic=deterministic)
-            skips.append(out)
-        out = block(filters[-1], self.kernels[-1], self.strides[-1],
-                    self.negative_slope, self.drop_block, dtype=self.dtype)(
-            out, deterministic=deterministic)
+        drop_flags = [self.drop_block and (n_down - i) <= 2 for i in range(n_down)]
+        # First stochastic encoder stage; the prefix is everything before it.
+        first_drop = next((i for i, f in enumerate(drop_flags) if f), n_down)
+
+        # Stage blocks carry explicit names matching flax's auto-naming of the
+        # original single-pass implementation (ConvBlock_0..) so checkpoints
+        # are unchanged and the three modes address identical params even
+        # though each instantiates only the blocks it calls.
+        def stage(idx: int, use_drop: bool):
+            f = filters[idx] if idx <= n_down else filters[-1]
+            return block(f, self.kernels[idx], self.strides[idx],
+                         self.negative_slope, use_drop, dtype=self.dtype,
+                         name=f"{block.__name__}_{idx}")
+
+        if mode == "decode_from_prefix":
+            if prefix is None:
+                raise ValueError("mode='decode_from_prefix' requires prefix=")
+            skips = [s.astype(self.dtype) for s in prefix["skips"]]
+            out = skips[-1]
+        else:
+            # Accept NCHW (reference convention) and run NHWC internally.
+            x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+            out = stage(0, False)(x, deterministic=deterministic)
+            skips = [out]
+            stop = first_drop if mode == "encode_prefix" else n_down
+            for i in range(stop):
+                # drop_block only in the two deepest encoder stages (unet2.py:303).
+                out = stage(i + 1, drop_flags[i])(out, deterministic=deterministic)
+                skips.append(out)
+            if mode == "encode_prefix":
+                return {"skips": skips}
+
+        if mode == "decode_from_prefix":
+            for i in range(first_drop, n_down):
+                out = stage(i + 1, drop_flags[i])(out, deterministic=deterministic)
+                skips.append(out)
+        out = stage(n_down + 1, self.drop_block)(out, deterministic=deterministic)
         bottleneck = out
 
         decoder_outputs = []

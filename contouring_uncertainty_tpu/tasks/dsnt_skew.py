@@ -35,12 +35,18 @@ class SkewUNet(nn.Module):
     n_skew: int
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None):
-        out = self.unet(x, train=train, deterministic=deterministic)
+    def __call__(self, x, *, train: bool = False, deterministic: Optional[bool] = None,
+                 mode: str = "full", prefix: Optional[dict] = None):
+        # Non-UNet backbones (ENet, DeepLabV3) have no prefix modes; only the
+        # default mode is routed to them unchanged.
+        extra = {} if mode == "full" else dict(mode=mode, prefix=prefix)
+        out = self.unet(x, train=train, deterministic=deterministic, **extra)
+        if mode == "encode_prefix":
+            return out
         a = ConfidenceNet(output_size=self.n_skew * 2, name="confidence_net")(
             out["bottleneck"]
         )
-        out["alpha_raw"] = a.reshape(x.shape[0], self.n_skew, 2)
+        out["alpha_raw"] = a.reshape(a.shape[0], self.n_skew, 2)
         return out
 
 
@@ -113,29 +119,30 @@ class DSNTSkew(DSNTAleatoric):
         loss, logs, _ = self._forward_loss(model, variables, batch, rng, train)
         return loss, logs
 
-    def forward_skew(self, model, variables, img, rng=None, mc_dropout=False):
-        kwargs = {}
-        if mc_dropout:
-            kwargs = dict(deterministic=False, rngs={"dropout": rng})
-        out = model.apply(variables, img, **kwargs)
+    def _outputs_to_skew(self, out):
         mu, sigma = dsnt_ops.logits_to_pixel_gaussians(out["out"], use_covar=self.covar)
         alpha = self._scatter_alpha(out["alpha_raw"])
         # Test-time y flip (dsnt_skew.py:164): image y-axis points down.
         alpha = alpha * jnp.asarray([1.0, -1.0], alpha.dtype)
         return mu, sigma, alpha
 
+    def forward_skew(self, model, variables, img, rng=None, mc_dropout=False):
+        kwargs = {}
+        if mc_dropout:
+            kwargs = dict(deterministic=False, rngs={"dropout": rng})
+        return self._outputs_to_skew(model.apply(variables, img, **kwargs))
+
     def predict(self, model, variables, img, rng=None):
         """-> mu (N, T_e, K, 2), cov (N, T_e, K, 2, 2), alpha (N, T_e, K, 2)."""
         ensemble = variables if isinstance(variables, (list, tuple)) else None
         t_e = len(ensemble) if ensemble else self.t_e
         if ensemble is None and t_e > 1:
-            # One batched MC-dropout forward (see DSNTAleatoric.predict).
+            # One batched MC-dropout forward with the deterministic encoder
+            # prefix shared across the T_e tiles (DSNTAleatoric._mc_apply).
             n = img.shape[0]
             key = rng if rng is not None else jax.random.key(0)
-            tiled = jnp.tile(img, (t_e,) + (1,) * (img.ndim - 1))
-            mu, sigma, alpha = self.forward_skew(
-                model, variables, tiled, rng=key, mc_dropout=True
-            )
+            out = self._mc_apply(model, variables, img, t_e, key)
+            mu, sigma, alpha = self._outputs_to_skew(out)
             unbatch = lambda a: a.reshape((t_e, n) + a.shape[1:]).swapaxes(0, 1)
             return unbatch(mu), unbatch(sigma), unbatch(alpha)
         mus, covs, alphas = [], [], []

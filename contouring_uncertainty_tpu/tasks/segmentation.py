@@ -156,13 +156,16 @@ class McDropoutUncertainty(SegmentationUncertaintyTask):
         return super().build_model()
 
     def predict_probs(self, model, variables, img, rng):
-        def one(key):
-            logits = model.apply(
-                variables, img, deterministic=False, rngs={"dropout": key}
-            )["out"]
-            return self._activate(logits)
+        # One batched T_e*N forward with the deterministic encoder prefix
+        # computed once and tiled (tasks/dsnt_al.py mc_dropout_apply) — the
+        # vmapped per-key loop re-ran the FLOP-heavy high-res encoder T_e
+        # times on identical inputs.
+        from contouring_uncertainty_tpu.tasks.dsnt_al import mc_dropout_apply
 
-        probs = jax.vmap(one)(jax.random.split(rng, self.t_e))  # (T_e, N, C, H, W)
+        n = img.shape[0]
+        logits = mc_dropout_apply(model, variables, img, self.t_e, rng)["out"]
+        probs = self._activate(logits)
+        probs = probs.reshape((self.t_e, n) + probs.shape[1:])  # (T_e, N, C, H, W)
         return jnp.moveaxis(probs, 0, 1)[:, :, None]  # (N, T_e, 1, C, H, W)
 
 

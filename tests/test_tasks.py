@@ -100,6 +100,46 @@ def test_segmentation_tasks_train_and_predict(task_cls, kwargs):
         assert t_a == 3
 
 
+def test_mc_prefix_sharing_matches_tiled_forward():
+    """The shared-deterministic-prefix MC forward (mc_dropout_apply) must
+    match tiling the input through the full network with the same dropout
+    key: the prefix has no dropout, instance norm is per-sample, and rng
+    folding is by module path so the tail's dropout masks are identical.
+    Exact up to conv reduction order (1e-5 here on CPU; see the
+    mc_dropout_apply docstring for the measured TPU default-precision
+    contract)."""
+    from contouring_uncertainty_tpu.tasks.dsnt_al import DSNTAleatoric, mc_dropout_apply
+
+    rng = np.random.default_rng(7)
+    task = DSNTAleatoric(data_params=DP_CONTOUR,
+                         model_kwargs={**SMALL_MODEL, "drop_block": True}, t_e=3)
+    model = task.build_model()
+    assert model.drop_block
+    img = jnp.asarray(rng.normal(size=(2, 1, 32, 32)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), img)
+
+    key = jax.random.key(5)
+    shared = mc_dropout_apply(model, variables, img, 3, key)["out"]
+    tiled = model.apply(variables, jnp.tile(img, (3, 1, 1, 1)),
+                        deterministic=False, rngs={"dropout": key})["out"]
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(tiled), rtol=0, atol=1e-5)
+    # Different epistemic samples must still differ (dropout active in tail).
+    assert float(jnp.abs(shared[:2] - shared[2:4]).max()) > 0
+
+    # Skew task: the wrapped SkewUNet threads the prefix modes through.
+    skew = DSNTSkew(data_params=DP_CONTOUR,
+                    model_kwargs={**SMALL_MODEL, "drop_block": True}, t_e=3)
+    smodel = skew.build_model()
+    svars = jax.jit(smodel.init)(jax.random.key(1), img)
+    out_shared = mc_dropout_apply(smodel, svars, img, 3, key)
+    out_tiled = smodel.apply(svars, jnp.tile(img, (3, 1, 1, 1)),
+                             deterministic=False, rngs={"dropout": key})
+    np.testing.assert_allclose(np.asarray(out_shared["out"]),
+                               np.asarray(out_tiled["out"]), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_shared["alpha_raw"]),
+                               np.asarray(out_tiled["alpha_raw"]), rtol=0, atol=1e-4)
+
+
 def test_seg_deep_supervision_ladder():
     rng = np.random.default_rng(3)
     task = SegmentationUncertaintyTask(
