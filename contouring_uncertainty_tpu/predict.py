@@ -258,7 +258,7 @@ class AleatoricPredictor(_ViewPredictor):
 
         smesh = self.mesh if shard_samples else None
         h, w = img.shape[-2:]
-        out = self.task.predict(self.model, variables, img, rng=key)
+        out = self.task.predict(self.model, variables, img, rng=key, mesh=smesh)
         skew = len(out) == 3
         if skew:
             mu_te, cov_te, alpha_te = out
@@ -364,8 +364,10 @@ class SegPredictor(_ViewPredictor):
         from contouring_uncertainty_tpu.ops.morphology import postprocess_batch
         from contouring_uncertainty_tpu.parallel.serving import constrain_sample_axis
 
-        probs = self.task.predict_probs(self.model, variables, img, key)
-        probs = constrain_sample_axis(probs, self.mesh if shard_samples else None, 2)
+        smesh = self.mesh if shard_samples else None
+        probs = self.task.predict_probs(self.model, variables, img, key,
+                                        mesh=smesh)
+        probs = constrain_sample_axis(probs, smesh, 2)
         # (N, T_e, T_a, C, H, W); binary case C == 1.
         binary = probs.shape[3] == 1
         if binary:

@@ -24,9 +24,20 @@ from contouring_uncertainty_tpu.ops.rasterize import rasterize_batch
 from contouring_uncertainty_tpu.utils.metrics import dice_binary
 
 
-def mc_dropout_apply(model, variables, img, t_e, key):
+def mc_dropout_apply(model, variables, img, t_e, key, mesh=None):
     """One batched MC-dropout forward at batch T_e*N -> raw output dict,
     T_e-major ordering (sample e of frame i at batch index e*N + i).
+
+    `mesh` (optional) shards the T_e*N batch axis of the stochastic tail
+    across the mesh's data axis (parallel/serving.py constrain_sample_axis)
+    — the single-view LATENCY serving mode: post prefix-sharing the MC
+    forward is the dominant per-view cost, and without a constraint GSPMD
+    replicates it on every chip while only the later T_a sample axis is
+    partitioned. Instance norm is per-sample and every op below is
+    batch-elementwise, so the tail partitions with no collectives until the
+    downstream epistemic fusion touches all T_e (tiny (K, 2) tensors). The
+    bf16 Pallas DSNT head is the one op GSPMD cannot partition (it gathers
+    the logits first); the f32 default predict head shards clean.
 
     For a UNet backbone with `drop_block`, the deterministic encoder prefix
     (stem + every stage before the first dropout — the FLOP-heavy
@@ -45,7 +56,10 @@ def mc_dropout_apply(model, variables, img, t_e, key):
     (22.8 -> 17.5 ms, interleaved best-of-3).
     Non-UNet backbones fall back to the tiled-input forward.
     """
-    tile = lambda a: jnp.tile(a, (t_e,) + (1,) * (a.ndim - 1))
+    from contouring_uncertainty_tpu.parallel.serving import constrain_sample_axis
+
+    shard = lambda a: constrain_sample_axis(a, mesh, 0)
+    tile = lambda a: shard(jnp.tile(a, (t_e,) + (1,) * (a.ndim - 1)))
     inner = getattr(model, "unet", model)
     if isinstance(inner, UNet) and inner.drop_block:
         prefix = model.apply(variables, img, mode="encode_prefix")
@@ -118,17 +132,18 @@ class DSNTAleatoric:
         loss, logs, _ = self._forward_loss(model, variables, batch, rng, train)
         return loss, logs
 
-    def _mc_apply(self, model, variables, img, t_e, key):
-        return mc_dropout_apply(model, variables, img, t_e, key)
+    def _mc_apply(self, model, variables, img, t_e, key, mesh=None):
+        return mc_dropout_apply(model, variables, img, t_e, key, mesh=mesh)
 
-    def predict(self, model, variables, img, rng=None):
+    def predict(self, model, variables, img, rng=None, mesh=None):
         """Epistemic-sampling forward: (N, C, H, W) -> mu (N, T_e, K, 2),
         cov (N, T_e, K, 2, 2).
 
         T_e > 1 uses MC-dropout forwards (reference dsnt_al.py:133-151 +
         uncertainty.py:75 patching — here just `deterministic=False` with a
         fresh key per pass). `variables` may be a list for deep ensembles
-        (reference uncertainty.py:54-70).
+        (reference uncertainty.py:54-70). `mesh` shards the MC forward's
+        batch axis for latency-mode serving (mc_dropout_apply).
         """
         ensemble = variables if isinstance(variables, (list, tuple)) else None
         t_e = len(ensemble) if ensemble else self.t_e
@@ -142,7 +157,7 @@ class DSNTAleatoric:
             # the T_e tiles (_mc_apply).
             n = img.shape[0]
             key = rng if rng is not None else jax.random.key(0)
-            out = self._mc_apply(model, variables, img, t_e, key)
+            out = self._mc_apply(model, variables, img, t_e, key, mesh=mesh)
             mu, sigma = dsnt_ops.logits_to_pixel_gaussians(
                 out["out"], use_covar=self.covar
             )

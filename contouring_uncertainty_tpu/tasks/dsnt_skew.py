@@ -132,7 +132,7 @@ class DSNTSkew(DSNTAleatoric):
             kwargs = dict(deterministic=False, rngs={"dropout": rng})
         return self._outputs_to_skew(model.apply(variables, img, **kwargs))
 
-    def predict(self, model, variables, img, rng=None):
+    def predict(self, model, variables, img, rng=None, mesh=None):
         """-> mu (N, T_e, K, 2), cov (N, T_e, K, 2, 2), alpha (N, T_e, K, 2)."""
         ensemble = variables if isinstance(variables, (list, tuple)) else None
         t_e = len(ensemble) if ensemble else self.t_e
@@ -141,7 +141,7 @@ class DSNTSkew(DSNTAleatoric):
             # prefix shared across the T_e tiles (DSNTAleatoric._mc_apply).
             n = img.shape[0]
             key = rng if rng is not None else jax.random.key(0)
-            out = self._mc_apply(model, variables, img, t_e, key)
+            out = self._mc_apply(model, variables, img, t_e, key, mesh=mesh)
             mu, sigma, alpha = self._outputs_to_skew(out)
             unbatch = lambda a: a.reshape((t_e, n) + a.shape[1:]).swapaxes(0, 1)
             return unbatch(mu), unbatch(sigma), unbatch(alpha)

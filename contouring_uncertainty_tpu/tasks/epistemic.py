@@ -36,11 +36,11 @@ class EpistemicUncertainty(DSNTAleatoric):
                     self.model_kwargs["dropout"] = 0.1
         return super().build_model()
 
-    def predict(self, model, variables, img, rng=None):
+    def predict(self, model, variables, img, rng=None, mesh=None):
         """Pure-epistemic stats: zero the aleatoric-head covariances so the
         predictor's fusion (mean cov + spread) reduces to the spread of the
         T_e forwards only (reference epistemic.py:33-34)."""
-        mu_te, cov_te = super().predict(model, variables, img, rng=rng)
+        mu_te, cov_te = super().predict(model, variables, img, rng=rng, mesh=mesh)
         return mu_te, jnp.zeros_like(cov_te)
 
     def predict_point_stats(self, model, variables, img, rng=None):

@@ -132,7 +132,7 @@ class SegmentationUncertaintyTask:
 
     # ----------------------------------------------------------------- predict
 
-    def predict_probs(self, model, variables, img, rng):
+    def predict_probs(self, model, variables, img, rng, mesh=None):
         """-> probs (N, T_e, T_a, C, H, W). Base: deterministic single pass."""
         logits = model.apply(variables, img)["out"]
         probs = self._activate(logits)
@@ -155,7 +155,7 @@ class McDropoutUncertainty(SegmentationUncertaintyTask):
             self.model_kwargs.setdefault("drop_block", True)
         return super().build_model()
 
-    def predict_probs(self, model, variables, img, rng):
+    def predict_probs(self, model, variables, img, rng, mesh=None):
         # One batched T_e*N forward with the deterministic encoder prefix
         # computed once and tiled (tasks/dsnt_al.py mc_dropout_apply) — the
         # vmapped per-key loop re-ran the FLOP-heavy high-res encoder T_e
@@ -163,7 +163,8 @@ class McDropoutUncertainty(SegmentationUncertaintyTask):
         from contouring_uncertainty_tpu.tasks.dsnt_al import mc_dropout_apply
 
         n = img.shape[0]
-        logits = mc_dropout_apply(model, variables, img, self.t_e, rng)["out"]
+        logits = mc_dropout_apply(model, variables, img, self.t_e, rng,
+                                  mesh=mesh)["out"]
         probs = self._activate(logits)
         probs = probs.reshape((self.t_e, n) + probs.shape[1:])  # (T_e, N, C, H, W)
         return jnp.moveaxis(probs, 0, 1)[:, :, None]  # (N, T_e, 1, C, H, W)
@@ -210,7 +211,7 @@ class AleatoricUncertainty(SegmentationUncertaintyTask):
         loss = self.ce_weight * ce + self.dice_weight * (1.0 - dice.mean())
         return loss, {"loss": loss, "ce": ce, "dice": dice.mean()}
 
-    def predict_probs(self, model, variables, img, rng):
+    def predict_probs(self, model, variables, img, rng, mesh=None):
         out = model.apply(variables, img)
         logits = out["out"]
         sigma = jax.nn.softplus(out["ssn"][0]) + 1e-8
@@ -226,7 +227,7 @@ class TTAUncertainty(SegmentationUncertaintyTask):
 
     task_name: str = "tta"
 
-    def predict_probs(self, model, variables, img, rng):
+    def predict_probs(self, model, variables, img, rng, mesh=None):
         n = img.shape[0]
 
         def one(key):
@@ -315,7 +316,7 @@ class StochasticSegmentationNetwork(SegmentationUncertaintyTask):
         dice = soft_dice(probs, y, c)
         return loss, {"loss": loss, "ce": loss, "dice": dice.mean()}
 
-    def predict_probs(self, model, variables, img, rng):
+    def predict_probs(self, model, variables, img, rng, mesh=None):
         out = model.apply(variables, img)
         mean, diag, factor = self._distribution_params(out)
         samples = self._sample_logits(rng, mean, diag, factor, self.t_a, antithetic=False)
