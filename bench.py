@@ -1,8 +1,23 @@
 #!/usr/bin/env python
 """Headline benchmark: U-Net+DSNT echo-frame inference throughput per chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/10000}
+Prints the headline JSON line as soon as the headline sweep finishes, then
+RE-PRINTS the enriched line after every secondary bench stage:
+
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/10000, ...}
+
+Every printed line is complete and self-contained, so whether the driver
+parses the first or the last JSON line of stdout — or kills the process
+mid-stage — it always captures a well-formed artifact (round-3 lesson:
+BENCH_r03.json was rc=124/null because the one print lived at the very end
+of an unbounded run).
+
+Wall-clock discipline (BENCH_TOTAL_BUDGET_S, default 1500 s — comfortably
+under the driver's ~30 min window):
+- the TPU-outage probe wait is capped so probes + headline always fit;
+- each secondary stage runs only if the remaining budget covers its cost
+  estimate (adaptive: a measured slow stage raises its family's estimate);
+  stages that don't fit are listed under "skipped_benches".
 
 Baseline: the driver-set north star of 10,000 frames/sec/chip for the
 flagship 8-stage UNet + DSNT at 256x256 (BASELINE.md; the reference itself
@@ -36,17 +51,44 @@ BASELINE_FRAMES_PER_SEC = 10_000.0
 # bounded time for the tunnel to return, and otherwise fall back to CPU with
 # the output line explicitly marked degraded.
 TPU_PROBE_TIMEOUT_S = int(os.environ.get("BENCH_TPU_PROBE_TIMEOUT_S", "180"))
-TPU_WAIT_BUDGET_S = int(os.environ.get("BENCH_TPU_WAIT_BUDGET_S", "1800"))
+TPU_WAIT_BUDGET_S = int(os.environ.get("BENCH_TPU_WAIT_BUDGET_S", "420"))
+
+# Hard wall budget for the WHOLE bench run. Secondary stages are skipped once
+# the remaining budget no longer covers their estimated cost; whatever was
+# measured so far has already been printed.
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
+# Reserved for the headline sweep itself when capping the probe wait.
+HEADLINE_RESERVE_S = int(os.environ.get("BENCH_HEADLINE_RESERVE_S", "420"))
 
 # Last successful on-TPU headline line, embedded in degraded fallback output
 # so a tunnel outage at bench time doesn't erase the round's real measurement.
 _CACHE_PATH = Path(__file__).parent / "BENCH_LAST_TPU.json"
 
+_T0 = time.monotonic()
+_DEADLINE = _T0 + TOTAL_BUDGET_S
 
-def _ensure_backend() -> bool:
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def _emit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
+
+
+def _write_cache(line: dict) -> None:
+    try:
+        _CACHE_PATH.write_text(json.dumps(
+            {**line, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                  time.gmtime())}))
+    except OSError:
+        pass
+
+
+def _ensure_backend(wait_budget_s: int) -> bool:
     from contouring_uncertainty_tpu.utils.backend import ensure_backend
 
-    return ensure_backend(wait_budget_s=TPU_WAIT_BUDGET_S,
+    return ensure_backend(wait_budget_s=wait_budget_s,
                           probe_timeout_s=TPU_PROBE_TIMEOUT_S, label="bench")
 
 
@@ -54,15 +96,67 @@ def _sync(out):
     np.asarray(jnp.ravel(out[0])[:1])
 
 
+def _run_stages(line: dict, stages, emit=_emit, write_cache=_write_cache,
+                remaining=_remaining) -> list:
+    """Run secondary bench stages under the wall budget.
+
+    `stages` is a list of (name, family, est_s, fn) where fn() mutates
+    `line` in place. A stage runs only if `remaining()` covers max(est_s,
+    slowest observed stage of the same family); otherwise its name lands in
+    the returned skip list. After every stage the enriched line is re-emitted
+    and the on-TPU cache rewritten, so a driver timeout can never erase more
+    than the stage in flight. Exceptions are recorded as '{name}_error' keys
+    and never abort the remaining stages.
+    """
+    skipped = []
+    family_cost: dict = {}
+    for name, family, est_s, fn in stages:
+        est = max(est_s, family_cost.get(family, 0.0))
+        if remaining() < est:
+            skipped.append(name)
+            continue
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as exc:  # a stage must not break the artifact
+            line[f"{name}_error"] = f"{type(exc).__name__}: {exc}"
+        elapsed = time.monotonic() - t0
+        family_cost[family] = max(family_cost.get(family, 0.0), elapsed)
+        line["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        emit(line)
+        write_cache(line)
+    if skipped:
+        line["skipped_benches"] = skipped
+        emit(line)
+        write_cache(line)
+    return skipped
+
+
 def main():
+    # Cap the outage wait so probes + headline always fit the wall budget
+    # (round 3: a 1800 s probe wait plus the full bench overran the driver).
+    wait_budget = int(max(0, min(TPU_WAIT_BUDGET_S,
+                                 _remaining() - HEADLINE_RESERVE_S)))
+    on_tpu = _ensure_backend(wait_budget)
+
     from contouring_uncertainty_tpu.models import UNet
     from contouring_uncertainty_tpu.ops.dsnt import logits_to_pixel_gaussians
 
-    on_tpu = _ensure_backend()
-
-    model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
-                 dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
-    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+    if on_tpu:
+        model = UNet(input_shape=(1, 256, 256), output_shape=(21, 256, 256),
+                     dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+        batches, iters, windows, warm = (128, 256, 512), 32, 3, 4
+    else:
+        # CPU fallback: the number is NOT comparable with the TPU baseline
+        # (explicit `degraded` key below) — it only proves the harness runs,
+        # so use a small model that compiles in seconds on host CPU.
+        model = UNet(input_shape=(1, 64, 64), output_shape=(21, 64, 64),
+                     kernels=((3, 3),) * 4,
+                     strides=((1, 1),) + ((2, 2),) * 3)
+        batches, iters, windows, warm = (4,), 2, 1, 1
+    size = model.input_shape[-1]
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, size, size)))
 
     @jax.jit
     def forward(variables, img):
@@ -72,10 +166,10 @@ def main():
     best = 0.0
     best_batch = 0
     rng = np.random.default_rng(0)
-    batches = (128, 256, 512) if on_tpu else (4,)
-    iters, windows, warm = (32, 3, 4) if on_tpu else (2, 1, 1)
     for batch in batches:
-        img = jnp.asarray(rng.normal(size=(batch, 1, 256, 256)), jnp.float32)
+        if best and _remaining() < 60:
+            break  # keep whatever the sweep already measured
+        img = jnp.asarray(rng.normal(size=(batch, 1, size, size)), jnp.float32)
         try:
             _sync(forward(variables, img))  # compile + warm
         except Exception:
@@ -104,64 +198,64 @@ def main():
         # driver still gets a well-formed artifact instead of a 20-min hang.
         # Secondary benches are skipped — flagship-shape training / TMI-budget
         # predict on host CPU would run for hours. Attach the last successful
-        # on-TPU line (cached below) so the outage doesn't erase the round's
-        # real measurement.
+        # on-TPU line (cached on every on-TPU stage) so the outage doesn't
+        # erase the round's real measurement.
         line["degraded"] = "tpu_tunnel_unavailable_cpu_fallback"
         try:
             line["last_tpu"] = json.loads(_CACHE_PATH.read_text())
         except Exception:
             pass
-        print(json.dumps(line))
+        _emit(line)
         return
-    try:
-        line["predict_views_per_sec"] = round(_bench_predict_pipeline(), 2)
-    except Exception as exc:  # secondary metric must not break the headline
-        line["predict_views_per_sec_error"] = f"{type(exc).__name__}: {exc}"
-    try:
-        line["predict_views_per_sec_bf16"] = round(
-            _bench_predict_pipeline(bf16=True), 2)
-    except Exception as exc:
-        line["predict_views_per_sec_bf16_error"] = f"{type(exc).__name__}: {exc}"
-    try:
-        line["predict_views_per_sec_skew"] = round(
-            _bench_predict_pipeline(skew=True), 2)
-    except Exception as exc:
-        line["predict_views_per_sec_skew_error"] = f"{type(exc).__name__}: {exc}"
-    try:
-        line["predict_views_per_sec_batched4"] = round(
-            _bench_predict_pipeline(batch_views=4), 2)
-    except Exception as exc:
-        line["predict_views_per_sec_batched4_error"] = f"{type(exc).__name__}: {exc}"
-    try:
+
+    # First parseable artifact lands NOW; every stage below re-emits.
+    line["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _emit(line)
+    _write_cache(line)
+
+    def _set(key, fn, round_to=2):
+        def run():
+            line[key] = round(fn(), round_to)
+        return run
+
+    # Priority order: correctness parity first (cheap), then the metrics a
+    # round is judged on (reference-parity predict, new serving/train
+    # surface), then the opt-in fast modes. The wall budget cuts from the
+    # tail, never the head.
+    stages = [
+        ("parity", "parity", 120, lambda: line.update(_parity_checks())),
+        ("predict_views_per_sec", "predict", 240,
+         _set("predict_views_per_sec", _bench_predict_pipeline)),
+        ("predict_views_per_sec_seq", "predict", 240,
+         _set("predict_views_per_sec_seq",
+              lambda: _bench_predict_pipeline(sequence=True))),
+        ("aggregate_views", "predict", 300,
+         lambda: line.update(_bench_aggregate_predict())),
+        ("train_frames_per_sec_b128", "train", 300,
+         _set("train_frames_per_sec_b128", lambda: _bench_train_step(128), 1)),
+        ("train_frames_per_sec_e2e", "train", 300,
+         lambda: line.update(_bench_train_e2e())),
+        ("predict_views_per_sec_bf16", "predict", 240,
+         _set("predict_views_per_sec_bf16",
+              lambda: _bench_predict_pipeline(bf16=True))),
+        ("predict_views_per_sec_batched4", "predict", 240,
+         _set("predict_views_per_sec_batched4",
+              lambda: _bench_predict_pipeline(batch_views=4))),
         # Max single-chip serving mode: bf16 forwards + fused Pallas head +
-        # 4-view batching compose (measured 70.4 views/s vs 56.6 f32-batched
-        # and 44.1 bf16-sequential) — the number a throughput-bound user gets
+        # 4-view batching compose — the number a throughput-bound user gets
         # when they accept the bf16 accuracy contract (docs/PERF_NOTES.md).
-        line["predict_views_per_sec_batched4_bf16"] = round(
-            _bench_predict_pipeline(bf16=True, batch_views=4), 2)
-    except Exception as exc:
-        line["predict_views_per_sec_batched4_bf16_error"] = (
-            f"{type(exc).__name__}: {exc}")
-    try:
-        line.update(_parity_checks())
-    except Exception as exc:
-        line["parity_error"] = f"{type(exc).__name__}: {exc}"
-    try:
-        line.update(_bench_aggregate_serving())
-    except Exception as exc:
-        line["aggregate_error"] = f"{type(exc).__name__}: {exc}"
-    try:
-        line["train_frames_per_sec"] = round(_bench_train_step(64), 1)
-        line["train_frames_per_sec_b128"] = round(_bench_train_step(128), 1)
-    except Exception as exc:
-        line["train_error"] = f"{type(exc).__name__}: {exc}"
-    try:  # cache the successful on-TPU line for outage fallbacks
-        _CACHE_PATH.write_text(json.dumps(
-            {**line, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                                  time.gmtime())}))
-    except OSError:
-        pass
-    print(json.dumps(line))
+        ("predict_views_per_sec_batched4_bf16", "predict", 240,
+         _set("predict_views_per_sec_batched4_bf16",
+              lambda: _bench_predict_pipeline(bf16=True, batch_views=4))),
+        ("predict_views_per_sec_skew", "predict", 240,
+         _set("predict_views_per_sec_skew",
+              lambda: _bench_predict_pipeline(skew=True))),
+        ("aggregate_frames_per_sec", "aggregate", 180,
+         lambda: line.update(_bench_aggregate_serving())),
+        ("train_frames_per_sec", "train", 240,
+         _set("train_frames_per_sec", lambda: _bench_train_step(64), 1)),
+    ]
+    _run_stages(line, stages)
 
 
 def _bench_train_step(batch_size: int = 64) -> float:
@@ -217,6 +311,80 @@ def _bench_train_step(batch_size: int = 64) -> float:
         _sync((logs["loss"],))
         best = max(best, batch_size * iters / (time.perf_counter() - t0))
     return best
+
+
+def _bench_train_e2e(batch_size: int = 128, n_frames: int = 512) -> dict:
+    """Input-feed-INCLUSIVE training throughput (VERDICT r3 weak #5): the
+    steady-state epoch loop exactly as Trainer.fit runs it — C++ prefetcher
+    batches (data/native_loader.py), host->device transfer, on-device
+    augmentation, jitted donated train step — at the flagship shape and the
+    batch-128 throughput point, over in-memory synthetic frames. The gap to
+    `train_frames_per_sec_b128` (pre-staged batch, no feed) is the feed cost."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from contouring_uncertainty_tpu.data import augment as aug
+    from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+    from contouring_uncertainty_tpu.data.native_loader import NativePrefetcher
+    from contouring_uncertainty_tpu.data.synthetic import make_arrays
+    from contouring_uncertainty_tpu.parallel import make_mesh, shard_batch
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    imgs, gts, contours = make_arrays(n_frames, 21, 256, seed=5)
+    arrays = {Tags.img: imgs, Tags.gt: gts, Tags.contour: contours}
+    task = DSNTAleatoric(
+        data_params=DataParams(in_shape=(1, 256, 256), out_shape=(21, 2),
+                               labels=(Label.BG, Label.LV)),
+        model_kwargs={"dtype": jnp.bfloat16},
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adamw(1e-3, weight_decay=1e-3),
+    )
+    mesh = make_mesh(len(jax.devices()))
+
+    # Identical step body to Trainer (train/trainer.py): augmentation and the
+    # per-step rng folds run INSIDE the jit, so each step is one dispatch.
+    def train_step(state, batch, rng, step_idx):
+        aug_key = jax.random.fold_in(rng, 2 * step_idx)
+        batch = aug.apply(batch, aug.sample_params(aug_key, batch[Tags.img].shape[0]))
+        loss_key = jax.random.fold_in(rng, 2 * step_idx + 1)
+
+        def loss_fn(params):
+            return task.loss(model, {"params": params}, batch, rng=loss_key,
+                             train=True)
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), logs
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    key = jax.random.key(1)
+    prefetcher = NativePrefetcher(arrays, batch_size, seed=0)
+    try:
+        # Warm: one epoch compiles and primes the ring.
+        si = 0
+        for batch in prefetcher.epoch():
+            state, logs = step(state, shard_batch(batch, mesh), key,
+                               np.uint32(si))
+            si += 1
+        _sync((logs["loss"],))
+        best = 0.0
+        for _ in range(3):
+            frames = 0
+            t0 = time.perf_counter()
+            for _ in range(2):  # 2 epochs per window: steady-state feed
+                for batch in prefetcher.epoch():
+                    state, logs = step(state, shard_batch(batch, mesh), key,
+                                       np.uint32(si))
+                    si += 1
+                    frames += batch[Tags.img].shape[0]
+            _sync((logs["loss"],))
+            best = max(best, frames / (time.perf_counter() - t0))
+    finally:
+        prefetcher.close()
+    return {"train_frames_per_sec_e2e": round(best, 1)}
 
 
 def _bench_aggregate_serving() -> dict:
@@ -314,8 +482,31 @@ def _parity_checks() -> dict:
     return out
 
 
+def _make_predict_data(tmp: str, bf16: bool, skew: bool):
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import get_or_fit_prior
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    data = CamusContourData(h5, fold=5)
+    model_kwargs = {"drop_block": True}
+    if bf16:
+        model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
+    cls = DSNTSkew if skew else DSNTAleatoric
+    task = cls(data_params=data.data_params, t_a=25, t_e=10,
+               model_kwargs=model_kwargs)
+    model = task.build_model()
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+    prior = get_or_fit_prior(data, None)
+    return data, task, model, variables, prior
+
+
 def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
-                            batch_views: int = 1) -> float:
+                            batch_views: int = 1,
+                            sequence: bool = False) -> float:
     """Secondary metric: full uncertainty-propagation throughput (views/s) at
     the TMI evaluation budget (t_e=10 epistemic forwards x t_a=25 PSM contour
     samples, 21 landmarks @ 256^2) — the reference's Stack-2 hot path runs
@@ -330,35 +521,33 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
     `skew=True` measures the MICCAI-headline skew pipeline instead (DSNTSkew
     + closed-form ESN skew sampling + skew umaps).
 
+    `sequence=True` measures the TMI sequence pipeline (ED<->ES coupling via
+    the two-instant PCA + SequencePSMSampler — the reference's Stack 4),
+    bench-tracked as predict_views_per_sec_seq (VERDICT r3 weak #3: it was
+    traced at ~30 ms/view but invisible to the driver).
+
     `batch_views=V > 1` measures the single-chip throughput mode
     (cfg predict_batch_views: V views vmapped per dispatch — the view step
     only feeds batch-20 forwards, so stacking views recovers the large-batch
     serving rate; V=4 measured as the throughput point on v5e)."""
     import tempfile
 
-    from contouring_uncertainty_tpu.data.camus import CamusContourData
-    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
-    from contouring_uncertainty_tpu.predict import AleatoricPredictor, get_or_fit_prior
+    from contouring_uncertainty_tpu.predict import (
+        AleatoricPredictor,
+        get_or_fit_sequence_prior,
+    )
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
     from contouring_uncertainty_tpu.sampler.psm_skew import (
         SkewPosteriorShapeModelSampler)
-    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
-    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
 
     with tempfile.TemporaryDirectory() as tmp:
-        h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
-        data = CamusContourData(h5, fold=5)
-        model_kwargs = {"drop_block": True}
-        if bf16:
-            model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
-        cls = DSNTSkew if skew else DSNTAleatoric
-        task = cls(data_params=data.data_params, t_a=25, t_e=10,
-                   model_kwargs=model_kwargs)
-        model = task.build_model()
-        variables = jax.jit(model.init)(
-            jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
-        prior = get_or_fit_prior(data, None)
-        if skew:
+        data, task, model, variables, prior = _make_predict_data(tmp, bf16, skew)
+        if sequence:
+            from contouring_uncertainty_tpu.sampler.sequence import SequencePSMSampler
+
+            seq_prior = get_or_fit_sequence_prior(data, None)
+            sampler = SequencePSMSampler(prior, seq_prior)
+        elif skew:
             sampler = SkewPosteriorShapeModelSampler(
                 prior, skew_indices=task.skew_indices, image_extent=255.0)
         else:
@@ -408,6 +597,46 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
             _sync((outs[-1]["pred"],))
             best = max(best, n_iters / (time.perf_counter() - t0))
         return best
+
+
+def _bench_aggregate_predict() -> dict:
+    """Aggregate uncertainty-propagation serving (VERDICT r3 weak #3): the
+    predictor's `batched()` path with views sharded over a mesh of ALL
+    visible chips (4 views per chip — the single-chip throughput point) so
+    multi-chip predict scaling is driver-tracked the day real multi-chip
+    hardware appears. Under this driver (1 chip) it degenerates to mesh(1)
+    ~= predict_views_per_sec_batched4 plus partitioner overhead."""
+    import tempfile
+
+    from contouring_uncertainty_tpu.parallel import make_mesh
+    from contouring_uncertainty_tpu.predict import AleatoricPredictor
+    from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
+
+    n = len(jax.devices())
+    mesh = make_mesh(n)
+    with tempfile.TemporaryDirectory() as tmp:
+        data, task, model, variables, prior = _make_predict_data(
+            tmp, bf16=False, skew=False)
+        predictor = AleatoricPredictor(
+            task, model, PosteriorShapeModelSampler(prior), mesh=mesh)
+        views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
+        v_total = 4 * n
+        key = jax.random.key(0)
+        imgs = jnp.stack([views[i % len(views)] for i in range(v_total)])
+        bkeys = jnp.stack([jax.random.fold_in(key, i) for i in range(v_total)])
+        np.asarray(jax.random.key_data(bkeys[-1]))  # host sync: staged
+        out = predictor.batched(variables, imgs, bkeys)  # compile + warm
+        _sync((out["pred"],))
+        best = 0.0
+        n_steps = 32
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                out = predictor.batched(variables, imgs, bkeys)
+            _sync((out["pred"],))
+            best = max(best, v_total * n_steps / (time.perf_counter() - t0))
+    return {"aggregate_views_per_sec": round(best, 2),
+            "aggregate_views_n_devices": n}
 
 
 if __name__ == "__main__":
