@@ -313,7 +313,9 @@ def _bench_train_step(batch_size: int = 64) -> float:
     return best
 
 
-def _bench_train_e2e(batch_size: int = 128, n_frames: int = 512) -> dict:
+def _bench_train_e2e(batch_size: int = 128, n_frames: int = 512,
+                     size: int = 256, model_kwargs: dict = None,
+                     windows: int = 3, epochs_per_window: int = 2) -> dict:
     """Input-feed-INCLUSIVE training throughput (VERDICT r3 weak #5): the
     steady-state epoch loop exactly as Trainer.fit runs it — C++ prefetcher
     batches (data/native_loader.py), host->device transfer, on-device
@@ -330,15 +332,16 @@ def _bench_train_e2e(batch_size: int = 128, n_frames: int = 512) -> dict:
     from contouring_uncertainty_tpu.parallel import make_mesh, shard_batch
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
-    imgs, gts, contours = make_arrays(n_frames, 21, 256, seed=5)
+    imgs, gts, contours = make_arrays(n_frames, 21, size, seed=5)
     arrays = {Tags.img: imgs, Tags.gt: gts, Tags.contour: contours}
     task = DSNTAleatoric(
-        data_params=DataParams(in_shape=(1, 256, 256), out_shape=(21, 2),
+        data_params=DataParams(in_shape=(1, size, size), out_shape=(21, 2),
                                labels=(Label.BG, Label.LV)),
-        model_kwargs={"dtype": jnp.bfloat16},
+        model_kwargs={"dtype": jnp.bfloat16, **(model_kwargs or {})},
     )
     model = task.build_model()
-    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((2, 1, size, size)))
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         tx=optax.adamw(1e-3, weight_decay=1e-3),
@@ -371,10 +374,10 @@ def _bench_train_e2e(batch_size: int = 128, n_frames: int = 512) -> dict:
             si += 1
         _sync((logs["loss"],))
         best = 0.0
-        for _ in range(3):
+        for _ in range(windows):
             frames = 0
             t0 = time.perf_counter()
-            for _ in range(2):  # 2 epochs per window: steady-state feed
+            for _ in range(epochs_per_window):  # steady-state feed
                 for batch in prefetcher.epoch():
                     state, logs = step(state, shard_batch(batch, mesh), key,
                                        np.uint32(si))
@@ -482,31 +485,33 @@ def _parity_checks() -> dict:
     return out
 
 
-def _make_predict_data(tmp: str, bf16: bool, skew: bool):
+def _make_predict_data(tmp: str, bf16: bool, skew: bool, size: int = 256,
+                       t_a: int = 25, t_e: int = 10,
+                       model_kwargs: dict = None):
     from contouring_uncertainty_tpu.data.camus import CamusContourData
     from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
     from contouring_uncertainty_tpu.predict import get_or_fit_prior
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
     from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
 
-    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=256, seed=3)
+    h5 = write_camus_hdf5(f"{tmp}/synth.h5", n_patients=4, size=size, seed=3)
     data = CamusContourData(h5, fold=5)
-    model_kwargs = {"drop_block": True}
+    model_kwargs = {"drop_block": True, **(model_kwargs or {})}
     if bf16:
         model_kwargs.update(dtype=jnp.bfloat16, head_dtype=jnp.bfloat16)
     cls = DSNTSkew if skew else DSNTAleatoric
-    task = cls(data_params=data.data_params, t_a=25, t_e=10,
+    task = cls(data_params=data.data_params, t_a=t_a, t_e=t_e,
                model_kwargs=model_kwargs)
     model = task.build_model()
     variables = jax.jit(model.init)(
-        jax.random.key(0), jnp.zeros((2, 1, 256, 256)))
+        jax.random.key(0), jnp.zeros((2, 1, size, size)))
     prior = get_or_fit_prior(data, None)
     return data, task, model, variables, prior
 
 
 def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
-                            batch_views: int = 1,
-                            sequence: bool = False) -> float:
+                            batch_views: int = 1, sequence: bool = False,
+                            smoke: dict = None) -> float:
     """Secondary metric: full uncertainty-propagation throughput (views/s) at
     the TMI evaluation budget (t_e=10 epistemic forwards x t_a=25 PSM contour
     samples, 21 landmarks @ 256^2) — the reference's Stack-2 hot path runs
@@ -540,8 +545,13 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
     from contouring_uncertainty_tpu.sampler.psm_skew import (
         SkewPosteriorShapeModelSampler)
 
+    smoke = smoke or {}
+    n_iters = n_steps = int(smoke.get("iters", 32))
+    n_windows = int(smoke.get("windows", 3))
     with tempfile.TemporaryDirectory() as tmp:
-        data, task, model, variables, prior = _make_predict_data(tmp, bf16, skew)
+        data, task, model, variables, prior = _make_predict_data(
+            tmp, bf16, skew,
+            **{k: v for k, v in smoke.items() if k not in ("iters", "windows")})
         if sequence:
             from contouring_uncertainty_tpu.sampler.sequence import SequencePSMSampler
 
@@ -549,7 +559,8 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
             sampler = SequencePSMSampler(prior, seq_prior)
         elif skew:
             sampler = SkewPosteriorShapeModelSampler(
-                prior, skew_indices=task.skew_indices, image_extent=255.0)
+                prior, skew_indices=task.skew_indices,
+                image_extent=float(task.data_params.in_shape[-1] - 1))
         else:
             sampler = PosteriorShapeModelSampler(prior)
         predictor = AleatoricPredictor(task, model, sampler)
@@ -566,7 +577,6 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
         # single ~30-45 ms dispatch+sync round-trip amortizes below ~1.5%,
         # and take best-of-3 windows against the chip's run-to-run variance.
         if batch_views > 1:
-            n_steps = 32
             imgs = jnp.stack([views[i % len(views)] for i in range(batch_views)])
             bkeys = jnp.stack([jax.random.fold_in(key, i)
                                for i in range(batch_views)])
@@ -574,7 +584,7 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
             out = predictor.batched(variables, imgs, bkeys)  # compile + warm
             _sync((out["pred"],))
             best = 0.0
-            for _ in range(3):
+            for _ in range(n_windows):
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
                     out = predictor.batched(variables, imgs, bkeys)
@@ -582,13 +592,12 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
                 best = max(best,
                            batch_views * n_steps / (time.perf_counter() - t0))
             return best
-        n_iters = 32
         keys = [jax.random.fold_in(key, i) for i in range(n_iters)]
         np.asarray(jax.random.key_data(keys[-1]))  # host sync: keys staged
         outs = [predictor(variables, views[0], key)]  # compile + warm
         _sync((outs[-1]["pred"],))
         best = 0.0
-        for _ in range(3):
+        for _ in range(n_windows):
             t0 = time.perf_counter()
             outs = [
                 predictor(variables, views[i % len(views)], keys[i])
@@ -599,7 +608,7 @@ def _bench_predict_pipeline(bf16: bool = False, skew: bool = False,
         return best
 
 
-def _bench_aggregate_predict() -> dict:
+def _bench_aggregate_predict(smoke: dict = None) -> dict:
     """Aggregate uncertainty-propagation serving (VERDICT r3 weak #3): the
     predictor's `batched()` path with views sharded over a mesh of ALL
     visible chips (4 views per chip — the single-chip throughput point) so
@@ -612,15 +621,21 @@ def _bench_aggregate_predict() -> dict:
     from contouring_uncertainty_tpu.predict import AleatoricPredictor
     from contouring_uncertainty_tpu.sampler import PosteriorShapeModelSampler
 
+    smoke = smoke or {}
+    n_steps = int(smoke.get("iters", 32))
+    n_windows = int(smoke.get("windows", 3))
+    views_per_chip = int(smoke.get("views_per_chip", 4))
     n = len(jax.devices())
     mesh = make_mesh(n)
     with tempfile.TemporaryDirectory() as tmp:
         data, task, model, variables, prior = _make_predict_data(
-            tmp, bf16=False, skew=False)
+            tmp, bf16=False, skew=False,
+            **{k: v for k, v in smoke.items()
+               if k not in ("iters", "windows", "views_per_chip")})
         predictor = AleatoricPredictor(
             task, model, PosteriorShapeModelSampler(prior), mesh=mesh)
         views = [jnp.asarray(v["img"]) for v in data.predict_views("test")]
-        v_total = 4 * n
+        v_total = views_per_chip * n
         key = jax.random.key(0)
         imgs = jnp.stack([views[i % len(views)] for i in range(v_total)])
         bkeys = jnp.stack([jax.random.fold_in(key, i) for i in range(v_total)])
@@ -628,8 +643,7 @@ def _bench_aggregate_predict() -> dict:
         out = predictor.batched(variables, imgs, bkeys)  # compile + warm
         _sync((out["pred"],))
         best = 0.0
-        n_steps = 32
-        for _ in range(3):
+        for _ in range(n_windows):
             t0 = time.perf_counter()
             for _ in range(n_steps):
                 out = predictor.batched(variables, imgs, bkeys)

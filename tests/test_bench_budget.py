@@ -93,6 +93,32 @@ def test_run_stages_stage_exception_is_recorded_not_fatal():
     assert line["good"] == 1
 
 
+_TINY_MODEL = dict(kernels=((3, 3),) * 4, strides=((1, 1),) + ((2, 2),) * 3)
+_SMOKE = dict(size=64, t_a=3, t_e=2, iters=2, windows=1,
+              model_kwargs=_TINY_MODEL)
+
+
+def test_bench_train_e2e_smoke():
+    """The feed-inclusive training stage runs end-to-end (prefetcher ->
+    shard -> in-jit augmentation+fold_in -> donated step) on a tiny config,
+    so a stage-function API/shape error can't first surface on the chip."""
+    out = bench._bench_train_e2e(batch_size=8, n_frames=32, size=64,
+                                 model_kwargs=_TINY_MODEL,
+                                 windows=1, epochs_per_window=1)
+    assert out["train_frames_per_sec_e2e"] > 0
+
+
+def test_bench_predict_seq_smoke():
+    assert bench._bench_predict_pipeline(sequence=True, smoke=_SMOKE) > 0
+
+
+def test_bench_aggregate_predict_smoke():
+    out = bench._bench_aggregate_predict(
+        smoke={**_SMOKE, "views_per_chip": 1})
+    assert out["aggregate_views_per_sec"] > 0
+    assert out["aggregate_views_n_devices"] == 8  # conftest's virtual mesh
+
+
 def test_bench_outage_emits_parseable_degraded_line():
     """End-to-end `python bench.py` under a simulated tunnel outage: probe
     forced to fail instantly (JAX_PLATFORMS=cpu short-circuits ensure_backend),
