@@ -251,3 +251,40 @@ def test_resolver_empty_registry_is_descriptive(cache_env, monkeypatch):
     _install_api(monkeypatch, _FakeAPI(versions=[]))
     with pytest.raises(RuntimeError, match="no\nversions|no versions"):
         resolve_checkpoint("ws/empty")
+
+
+def test_runner_comet_degradation_end_to_end(tmp_path, capsys):
+    """cfg requests Comet but the SDK is absent from the env (the last
+    runner-level branch of the tracking story this env permits — VERDICT r3):
+    the run must SUCCEED end-to-end with the JSONL fallback and an explicit
+    warning, mirroring the reference's logger fallback chain
+    (vital/vital/runner.py:166-196)."""
+    import importlib.util
+
+    assert importlib.util.find_spec("comet_ml") is None  # env precondition
+
+    from contouring_uncertainty_tpu.runner import run
+
+    result = run([
+        "data=synthetic",
+        f"data.dataset_path={tmp_path}/synth.h5",
+        "data.n_patients=6",
+        "data.image_size=64",
+        "task.model.kernels=[[3,3],[3,3],[3,3],[3,3]]",
+        "task.model.strides=[[1,1],[2,2],[2,2],[2,2]]",
+        "trainer.fast_dev_run=2",
+        "trainer.batch_size=4",
+        f"save_path={tmp_path}/out",
+        "comet=true",
+        "predict=False",
+        "test=False",
+    ])
+    assert "ckpt_path" in result  # the run completed despite the missing SDK
+    out = capsys.readouterr().out
+    assert "comet unavailable" in out  # degradation was announced, not silent
+    jsonl = list((tmp_path / "out").rglob("*_metrics.jsonl"))
+    assert jsonl, "JSONL fallback log missing"
+    import json
+
+    records = [json.loads(l) for l in jsonl[0].read_text().splitlines()]
+    assert records and any("train/loss" in r for r in records)
