@@ -180,6 +180,7 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
     instant_rows: Dict[str, Dict] = {}
     view_rows: Dict[str, Dict] = {}
     patients: Dict[str, Dict[str, object]] = defaultdict(dict)
+    fig_payload: Dict[str, tuple] = {}  # view id -> (res, raw MC populations)
 
     for res in results:
         if res.pred_samples is None:
@@ -198,6 +199,9 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
         # ---- per-view FAC / GLS ----
         ed, es = _ed_es(res)
         fac_mc = (areas_mc[ed] - areas_mc[es]) / areas_mc[ed]
+        mc_pops = {"Area_ED": areas_mc[ed], "Area_ES": areas_mc[es],
+                   "FAC": fac_mc}
+        fig_payload[res.id] = (res, mc_pops)
         pred_fac = float(
             ((res.pred[ed] != 0).sum() - (res.pred[es] != 0).sum()) / max((res.pred[ed] != 0).sum(), 1)
         )
@@ -214,6 +218,7 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
                 _perimeter_batch(jnp.asarray(res.contour_samples))
             ).reshape(res.contour_samples.shape[:3])
             gls_mc = (per[ed] - per[es]) / per[ed]
+            mc_pops["GLS"] = gls_mc
             pred_gls = float(np.asarray(C.gls(jnp.asarray(res.mu[ed]), jnp.asarray(res.mu[es]))))
             gt_gls = None
             if res.contour is not None:
@@ -330,4 +335,18 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
             plot_metric_correlation(df, metric, out_dir)  # gt vs pred, std-colored
             plot_metric_correlation(df, metric, out_dir, x="pred", y="mean",
                                     color=None)
+
+    # Per-view dashboards — one composite figure per view in metric_figures/
+    # (spline contours) and metric_figures2/ (mask-derived contours), the
+    # reference's metric_plot deliverable (clinical_metrics.py:140-143).
+    try:
+        from contouring_uncertainty_tpu.results.metric_figures import metric_plot
+
+        for res, mc_pops in fig_payload.values():
+            metric_plot(res, instant_rows, view_rows, mc_pops,
+                        out_dir / "metric_figures", use_contour=True)
+            metric_plot(res, instant_rows, view_rows, mc_pops,
+                        out_dir / "metric_figures2", use_contour=False)
+    except Exception as exc:  # figures must not void the metric summary
+        summary["metric_figures_error"] = f"{type(exc).__name__}: {exc}"
     return summary

@@ -126,6 +126,17 @@ def test_results_processors_end_to_end(tmp_path):
         assert (clin / f"{metric}_correlation_mean_pred.png").exists(), metric
     assert any(k.startswith("calibration/") for k in metrics)
     assert "mutual_info/mi_morphological_baseline" in metrics
+
+    # Per-view metric dashboards (reference metric_plot,
+    # clinical_metrics.py:269-508 invoked at :140-143): one figure per view
+    # in metric_figures/ (spline contours) and metric_figures2/ (mask
+    # contours); reject views get a `_reject` filename suffix.
+    assert "clinical_metrics/metric_figures_error" not in metrics
+    for sub in ("metric_figures", "metric_figures2"):
+        figs = list((clin / sub).glob("*.png"))
+        assert len(figs) == len(results), (sub, figs)
+        stems = {f.stem.replace("_reject", "") for f in figs}
+        assert stems == {r.id.replace("/", "-") for r in results}
     for k, v in metrics.items():
         if isinstance(v, float) and ("error" in k.lower() or "Dice" in k):
             assert np.isfinite(v), k
