@@ -38,7 +38,7 @@ def _library():
             lib.pf_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
             lib.pf_buffers.argtypes = [
                 ctypes.c_void_p, ctypes.c_int,
-                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ]
@@ -61,7 +61,13 @@ class NativePrefetcher:
             raise RuntimeError("native prefetch library unavailable")
         self._lib = lib
         self.batch_size = batch_size
-        self.imgs = np.ascontiguousarray(arrays[Tags.img], np.float32)
+        # Images pass through in their OWN dtype (the C side treats them as
+        # a byte stream): float32 is the parity default; uint8 is the
+        # 4x-smaller wire format for 8-bit acquisitions (TrainerConfig
+        # feed_uint8 — the train step dequantizes on device).
+        img_src = arrays[Tags.img]
+        img_dtype = np.uint8 if img_src.dtype == np.uint8 else np.float32
+        self.imgs = np.ascontiguousarray(img_src, img_dtype)
         self.gts = (np.ascontiguousarray(arrays[Tags.gt], np.uint8)
                     if Tags.gt in arrays else None)
         self.contours = (np.ascontiguousarray(arrays[Tags.contour], np.float32)
@@ -77,7 +83,7 @@ class NativePrefetcher:
             self.gts.ctypes.data_as(ctypes.c_void_p) if self.gts is not None else None,
             self.contours.ctypes.data_as(ctypes.c_void_p) if self.contours is not None else None,
             n,
-            int(np.prod(self.imgs.shape[1:])),
+            int(np.prod(self.imgs.shape[1:])) * self.imgs.dtype.itemsize,
             int(np.prod(self.gts.shape[1:])) if self.gts is not None else 0,
             int(np.prod(self.contours.shape[1:])) if self.contours is not None else 0,
             batch_size, seed, n_slots,
@@ -89,13 +95,16 @@ class NativePrefetcher:
             slot = lib.pf_next(self._handle)
             if slot < 0:
                 return
-            img_p = ctypes.POINTER(ctypes.c_float)()
+            img_p = ctypes.POINTER(ctypes.c_uint8)()
             gt_p = ctypes.POINTER(ctypes.c_uint8)()
             cont_p = ctypes.POINTER(ctypes.c_float)()
             lib.pf_buffers(self._handle, slot, ctypes.byref(img_p),
                            ctypes.byref(gt_p), ctypes.byref(cont_p))
+            n_img_bytes = int(np.prod(self._img_shape)) * self.imgs.dtype.itemsize
+            img_flat = np.ctypeslib.as_array(img_p, (n_img_bytes,))
             batch = {
-                Tags.img: np.ctypeslib.as_array(img_p, self._img_shape).copy()
+                Tags.img: img_flat.view(self.imgs.dtype).reshape(
+                    self._img_shape).copy()
             }
             if self.gts is not None:
                 batch[Tags.gt] = np.ctypeslib.as_array(gt_p, self._gt_shape).copy()

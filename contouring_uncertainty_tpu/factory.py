@@ -155,5 +155,6 @@ def build_trainer(cfg: Dict, task) -> Trainer:
         use_comet=bool(cfg.get("comet", False)),
         use_tensorboard=bool(cfg.get("tensorboard", False)),
         save_every=t.get("save_every", 25),
+        feed_uint8=bool(t.get("feed_uint8", False)),
     )
     return Trainer(task, tc)

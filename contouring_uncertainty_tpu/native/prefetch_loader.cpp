@@ -32,11 +32,15 @@ namespace {
 
 struct Prefetcher {
   // Source arrays (owned by Python; must outlive the prefetcher).
-  const float* imgs = nullptr;
+  // Images are a dtype-agnostic byte stream (img_bytes per sample): the
+  // Python side feeds float32 or uint8 (the 4x-smaller wire format for
+  // 8-bit acquisitions — see TrainerConfig.feed_uint8) and views the slot
+  // buffer back with the same dtype.
+  const uint8_t* imgs = nullptr;
   const uint8_t* gts = nullptr;
   const float* contours = nullptr;
   int64_t n = 0;
-  int64_t img_elems = 0;   // per-sample float count
+  int64_t img_bytes = 0;   // per-sample image bytes (any dtype)
   int64_t gt_elems = 0;    // per-sample byte count
   int64_t cont_elems = 0;  // per-sample float count
   int64_t batch = 0;
@@ -44,7 +48,7 @@ struct Prefetcher {
 
   // Ring of slots.
   int n_slots = 0;
-  std::vector<std::vector<float>> img_buf;
+  std::vector<std::vector<uint8_t>> img_buf;
   std::vector<std::vector<uint8_t>> gt_buf;
   std::vector<std::vector<float>> cont_buf;
 
@@ -71,13 +75,13 @@ struct Prefetcher {
           slot = free_slots.front();
           free_slots.pop();
         }
-        float* img_dst = img_buf[slot].data();
+        uint8_t* img_dst = img_buf[slot].data();
         uint8_t* gt_dst = gt_buf[slot].data();
         float* cont_dst = cont_buf[slot].data();
         for (int64_t j = 0; j < batch; ++j) {
           int64_t src = order[b * batch + j];
-          std::memcpy(img_dst + j * img_elems, imgs + src * img_elems,
-                      img_elems * sizeof(float));
+          std::memcpy(img_dst + j * img_bytes, imgs + src * img_bytes,
+                      img_bytes);
           if (gts)
             std::memcpy(gt_dst + j * gt_elems, gts + src * gt_elems, gt_elems);
           if (contours)
@@ -99,8 +103,8 @@ struct Prefetcher {
 
 extern "C" {
 
-void* pf_create(const float* imgs, const uint8_t* gts, const float* contours,
-                int64_t n, int64_t img_elems, int64_t gt_elems,
+void* pf_create(const uint8_t* imgs, const uint8_t* gts, const float* contours,
+                int64_t n, int64_t img_bytes, int64_t gt_elems,
                 int64_t cont_elems, int64_t batch, uint64_t seed,
                 int n_slots) {
   auto* p = new Prefetcher();
@@ -108,7 +112,7 @@ void* pf_create(const float* imgs, const uint8_t* gts, const float* contours,
   p->gts = gts;
   p->contours = contours;
   p->n = n;
-  p->img_elems = img_elems;
+  p->img_bytes = img_bytes;
   p->gt_elems = gt_elems;
   p->cont_elems = cont_elems;
   p->batch = batch;
@@ -118,7 +122,7 @@ void* pf_create(const float* imgs, const uint8_t* gts, const float* contours,
   p->gt_buf.resize(n_slots);
   p->cont_buf.resize(n_slots);
   for (int i = 0; i < n_slots; ++i) {
-    p->img_buf[i].resize(batch * img_elems);
+    p->img_buf[i].resize(batch * img_bytes);
     p->gt_buf[i].resize(batch * (gt_elems > 0 ? gt_elems : 1));
     p->cont_buf[i].resize(batch * (cont_elems > 0 ? cont_elems : 1));
     p->free_slots.push(i);
@@ -146,7 +150,7 @@ void pf_release(void* handle, int slot) {
   p->cv_free.notify_one();
 }
 
-void pf_buffers(void* handle, int slot, float** img, uint8_t** gt, float** cont) {
+void pf_buffers(void* handle, int slot, uint8_t** img, uint8_t** gt, float** cont) {
   auto* p = static_cast<Prefetcher*>(handle);
   *img = p->img_buf[slot].data();
   *gt = p->gt_buf[slot].data();

