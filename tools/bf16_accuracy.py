@@ -144,7 +144,8 @@ def calibration_contract(ckpt: str, skew: bool, t_a: int, t_e: int,
 
     base = summaries[modes[0]]
     picks = [k for k in base
-             if ("uce" in k.lower() or "reject" in k.lower())]
+             if ("uce" in k.lower() or "reject" in k.lower()
+                 or "calibration-" in k)]  # point_metrics adaptive-UCE keys
     for mode in modes[1:]:
         other = summaries[mode]
         print(f"\n=== calibration contract: {modes[0]} vs {mode} "
