@@ -179,7 +179,7 @@ def test_dsnt_skew_freeze_seg_trains_only_confidence_net():
     state = trainer.init_state(jax.random.key(0))
     batch = _batch(rng)
     before = jax.tree.map(np.asarray, state.params)
-    state, logs = trainer._train_step(state, batch, jax.random.key(1))
+    state, logs = trainer._train_step(state, batch, jax.random.key(1), np.uint32(0))
     after = jax.tree.map(np.asarray, state.params)
 
     unet_deltas = jax.tree.leaves(jax.tree.map(
@@ -196,7 +196,7 @@ def test_dsnt_skew_freeze_seg_trains_only_confidence_net():
     trainer2._build_steps()
     state2 = trainer2.init_state(jax.random.key(0))
     before2 = jax.tree.map(np.asarray, state2.params)
-    state2, _ = trainer2._train_step(state2, batch, jax.random.key(1))
+    state2, _ = trainer2._train_step(state2, batch, jax.random.key(1), np.uint32(0))
     after2 = jax.tree.map(np.asarray, state2.params)
     deltas2 = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(a - b).max()), before2["unet"], after2["unet"]))
