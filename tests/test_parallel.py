@@ -170,6 +170,38 @@ def test_mesh_inference_equivalence(tmp_path):
     _assert_batchresult_equivalence(seq, par)
 
 
+def test_mesh_inference_equivalence_skew(tmp_path):
+    """Skew (MICCAI) pipeline under DP serving: run_predict with a DSNTSkew
+    task on mesh(8) — ESN skew sampling, skew umaps, projected-mode pred all
+    inside the vmapped+sharded view fn — must match the sequential path to
+    the shared untrained budgets (the plain-path test covers DSNT-AL only)."""
+    from contouring_uncertainty_tpu.data.camus import CamusContourData
+    from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
+    from contouring_uncertainty_tpu.predict import run_predict
+    from contouring_uncertainty_tpu.tasks.dsnt_skew import DSNTSkew
+
+    h5 = write_camus_hdf5(tmp_path / "synth.h5", n_patients=6, size=64, seed=3)
+    data = CamusContourData(h5, fold=5)
+    task = DSNTSkew(
+        data_params=data.data_params, t_a=3, t_e=2,
+        skew_indices=(0, 5, 10, 15, 20),
+        model_kwargs=dict(kernels=((3, 3),) * 4,
+                          strides=((1, 1),) + ((2, 2),) * 3,
+                          drop_block=True),
+    )
+    model = task.build_model()
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((2, 1, 64, 64)))
+    cfg = {"seed": 0, "task": {"psm_path": str(tmp_path / "prior.npz")}}
+
+    seq = run_predict(task, variables, data, cfg)
+    par = run_predict(task, variables, data, cfg, mesh=make_mesh(8))
+    _assert_batchresult_equivalence(seq, par)
+    # Skew-specific fields ride along: alpha and the projected mode.
+    for a, b in zip(seq, par):
+        np.testing.assert_allclose(a.alpha, b.alpha, atol=1e-4)
+        np.testing.assert_allclose(a.mode, b.mode, atol=5e-2)
+
+
 def test_single_device_view_batching_equivalence(tmp_path):
     """Single-chip throughput mode (cfg predict_batch_views > 1): batching
     V views per dispatch through the vmapped path — no mesh — must match the
