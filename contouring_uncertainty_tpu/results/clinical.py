@@ -339,14 +339,20 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
     # Per-view dashboards — one composite figure per view in metric_figures/
     # (spline contours) and metric_figures2/ (mask-derived contours), the
     # reference's metric_plot deliverable (clinical_metrics.py:140-143).
+    # Payloads are prepared here (parent: batched spline eval, small numpy
+    # slices) and rendered through a process pool on large folds — rendering
+    # dominates the evaluation epilogue (docs/PERF_NOTES.md round 4).
     try:
-        from contouring_uncertainty_tpu.results.metric_figures import metric_plot
+        from contouring_uncertainty_tpu.results.metric_figures import (
+            prepare_view_payload,
+            render_dashboards,
+        )
 
-        for res, mc_pops in fig_payload.values():
-            metric_plot(res, instant_rows, view_rows, mc_pops,
-                        out_dir / "metric_figures", use_contour=True)
-            metric_plot(res, instant_rows, view_rows, mc_pops,
-                        out_dir / "metric_figures2", use_contour=False)
+        payloads = [
+            prepare_view_payload(res, instant_rows, view_rows, mc_pops)
+            for res, mc_pops in fig_payload.values()
+        ]
+        render_dashboards(payloads, out_dir)
     except Exception as exc:  # figures must not void the metric summary
         summary["metric_figures_error"] = f"{type(exc).__name__}: {exc}"
     return summary

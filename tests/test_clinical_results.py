@@ -180,3 +180,49 @@ def test_extra_processors_and_sequence_predict(tmp_path):
         view_id = results[0].id
         assert f[view_id]["pred"].shape == results[0].pred.shape
         assert "mu" in f[view_id]
+
+
+def test_metric_dashboard_parallel_rendering(tmp_path):
+    """render_dashboards' spawn-pool path (used for large folds where figure
+    rendering dominates the epilogue): payloads prepared in-parent render to
+    the same artifacts through worker processes."""
+    from contouring_uncertainty_tpu.data.config import BatchResult, Label
+    from contouring_uncertainty_tpu.results.metric_figures import (
+        prepare_view_payload,
+        render_dashboards,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, np.pi, 21)
+    c = np.stack([32 + 18 * np.cos(t), 50 - 34 * np.sin(t)], -1).astype(np.float32)
+    yy, xx = np.mgrid[0:64, 0:64]
+    mask = ((((xx - 32) / 18.0) ** 2 + ((yy - 40) / 30.0) ** 2) < 1)
+    payloads = []
+    row = {"Area_mean": 900.0, "Area_gt": 880.0, "Area_aleatoric_std": 25.0,
+           "Area_epistemic_std": 8.0, "Area_reject": False}
+    for v in range(3):
+        res = BatchResult(
+            id=f"patient{v:04d}/4CH", labels=(Label.BG, Label.LV),
+            img=rng.normal(0.4, 0.1, (2, 1, 64, 64)).astype(np.float32),
+            gt=np.stack([mask, mask]).astype(np.int32),
+            pred=np.stack([mask, mask]).astype(np.int32),
+            mu=np.stack([c, c]), mode=np.stack([c, c]),
+            cov=np.tile(np.eye(2, dtype=np.float32) * 2.0, (2, 21, 1, 1)),
+            contour=np.stack([c, c]),
+            contour_samples=(c[None, None, None]
+                             + rng.normal(0, 1, (2, 2, 3, 21, 2))
+                             ).astype(np.float32),
+            pred_samples=np.broadcast_to(
+                mask.astype(np.uint8), (2, 2, 3, 64, 64)).copy(),
+            uncertainty_map=np.stack([mask, mask]).astype(np.float32),
+            entropy_map=np.stack([mask, mask]).astype(np.float32) * 0.3,
+            instants={"ED": 0, "ES": 1},
+        )
+        irows = {f"{res.id}/ED": row, f"{res.id}/ES": row}
+        mc = {"Area_ED": rng.normal(900, 25, 12),
+              "Area_ES": rng.normal(700, 20, 12)}
+        payloads.append(prepare_view_payload(res, irows, {}, mc))
+
+    render_dashboards(payloads, tmp_path, parallel_threshold=2, max_workers=2)
+    for sub in ("metric_figures", "metric_figures2"):
+        assert len(list((tmp_path / sub).glob("*.png"))) == 3, sub
