@@ -39,6 +39,20 @@ import numpy as np
 # range(min(2, Te)) x range(min(5, Ta))).
 _MAX_TE, _MAX_TA = 2, 5
 
+_DENSE_JIT = None  # lazy module-level jit: one trace per (S, K) shape, not per view
+
+
+def _dense_splines(flat: np.ndarray) -> np.ndarray:
+    """(S, K, 2) landmark samples -> (S, 256, 2) dense spline polylines."""
+    global _DENSE_JIT
+    if _DENSE_JIT is None:
+        import jax
+
+        from contouring_uncertainty_tpu.ops.spline import contour_spline
+
+        _DENSE_JIT = jax.jit(jax.vmap(lambda p: contour_spline(p, n=256)))
+    return np.asarray(_DENSE_JIT(flat))
+
 
 def _bbox(map2d: np.ndarray, pad: int = 20):
     """Square crop window around the nonzero support of a 2-D map."""
@@ -99,15 +113,6 @@ def prepare_view_payload(res, instant_rows: Dict[str, Dict],
     instants = {"ED": inst.get("ED", 0),
                 "ES": inst.get("ES", min(1, res.img.shape[0] - 1))}
 
-    dense_fn = None
-    if res.contour_samples is not None:
-        import jax
-        import jax.numpy as jnp
-
-        from contouring_uncertainty_tpu.ops.spline import contour_spline
-
-        dense_fn = jax.jit(jax.vmap(lambda p: contour_spline(p, n=256)))
-
     panels = {}
     for name, i in instants.items():
         panel = {
@@ -121,10 +126,10 @@ def prepare_view_payload(res, instant_rows: Dict[str, Dict],
             "dense_samples": None,
             "sample_masks": None,
         }
-        if dense_fn is not None:
+        if res.contour_samples is not None:
             cs = np.asarray(res.contour_samples[i])
             flat = cs[:_MAX_TE, :_MAX_TA].reshape(-1, *cs.shape[-2:])
-            panel["dense_samples"] = np.asarray(dense_fn(flat))
+            panel["dense_samples"] = _dense_splines(flat)
         if res.pred_samples is not None:
             ps = np.asarray(res.pred_samples[i])
             panel["sample_masks"] = (
