@@ -133,10 +133,24 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
             print(f"[runner] test pass failed: {result['test_error']}")
 
     if cfg.get("predict", True) and variables is not None:
+        import jax
+
         from contouring_uncertainty_tpu.predict import run_predict
 
+        # Multi-chip DP serving from the CLI: with more than one visible
+        # device, predict shards views over a mesh of all of them
+        # (parallel/serving.py; equivalence gated by tests/test_parallel.py).
+        # `predict_mesh=false` pins the single-device path (bitwise
+        # latency-mode reproducibility); default 'auto' uses what's there.
+        mesh = None
+        if (cfg.get("predict_mesh", "auto") in (True, "auto", "true")
+                and len(jax.devices()) > 1):
+            from contouring_uncertainty_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
         proc_metrics: Dict = {}
-        results = run_predict(task, variables, data, cfg, metrics_out=proc_metrics)
+        results = run_predict(task, variables, data, cfg, mesh=mesh,
+                              metrics_out=proc_metrics)
         result["predict"] = results
         if proc_metrics.get("processor_errors"):
             result["processor_errors"] = proc_metrics["processor_errors"]
