@@ -15,13 +15,21 @@ def build_backbone(name: str, input_shape, output_shape, **kwargs):
                    "ssn_rank", "bottleneck_out", "dtype"}
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}
         return UNet(input_shape=input_shape, output_shape=output_shape, **kwargs)
-    if name in ("deeplabv3", "resnet"):
+    if name == "deeplabv3":
         from contouring_uncertainty_tpu.models.deeplabv3 import DeepLabV3
 
         allowed = {"layers", "base", "dropout", "n_heads", "ssn_rank",
                    "bottleneck_out", "dtype"}
         kwargs = {k: v for k, v in kwargs.items() if k in allowed}
         return DeepLabV3(input_shape=input_shape, output_shape=output_shape, **kwargs)
+    if name == "resnet":
+        from contouring_uncertainty_tpu.models.resnet import Resnet
+
+        allowed = {"layers", "dropout", "sigma_out", "dtype"}
+        kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+        if "layers" in kwargs:
+            kwargs["layers"] = tuple(kwargs["layers"])
+        return Resnet(input_shape=input_shape, output_shape=output_shape, **kwargs)
     if name == "enet":
         from contouring_uncertainty_tpu.models.enet import Enet
 

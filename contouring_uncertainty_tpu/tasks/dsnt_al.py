@@ -24,6 +24,31 @@ from contouring_uncertainty_tpu.ops.rasterize import rasterize_batch
 from contouring_uncertainty_tpu.utils.metrics import dice_binary
 
 
+def regression_gaussians(mu, sigma_params, use_covar: bool = True):
+    """Per-point bivariate Gaussians from a coordinate-regression head.
+
+    The standalone Resnet backbone (reference models/resnet.py:196-225)
+    outputs landmark coordinates (N, K, 2) directly plus `sigma_out`
+    uncertainty parameters per point (:181-188) instead of DSNT heatmaps.
+    Parameterization: (log sigma_x, log sigma_y[, atanh-rho logit]) ->
+    the same (mu, 2x2 cov) contract `logits_to_pixel_gaussians` provides,
+    so the aleatoric NLL and the whole predict pipeline are shared.
+    """
+    log_s = jnp.clip(sigma_params[..., :2], -6.0, 8.0)
+    sx, sy = jnp.exp(log_s[..., 0]), jnp.exp(log_s[..., 1])
+    if use_covar and sigma_params.shape[-1] >= 3:
+        rho = 0.99 * jnp.tanh(sigma_params[..., 2])
+    else:
+        rho = jnp.zeros_like(sx)
+    off = rho * sx * sy
+    cov = jnp.stack(
+        [jnp.stack([sx * sx, off], axis=-1),
+         jnp.stack([off, sy * sy], axis=-1)],
+        axis=-2,
+    )
+    return mu, cov
+
+
 def mc_dropout_apply(model, variables, img, t_e, key, mesh=None):
     """One batched MC-dropout forward at batch T_e*N -> raw output dict,
     T_e-major ordering (sample e of frame i at batch index e*N + i).
@@ -92,7 +117,22 @@ class DSNTAleatoric:
 
         c, h, w = self.data_params.in_shape
         k = self.data_params.out_shape[0]
+        if self.model_name == "resnet":
+            # Coordinate-regression backbone: output (K, 2) landmarks plus a
+            # sigma branch sized to the task's covariance parameterization
+            # (3 full / 2 diagonal), reference resnet.py:196-225.
+            kwargs = dict(self.model_kwargs)
+            kwargs.setdefault("sigma_out", 3 if self.covar else 2)
+            return build_backbone("resnet", (c, h, w), (k, 2), **kwargs)
         return build_backbone(self.model_name, (c, h, w), (k, h, w), **self.model_kwargs)
+
+    def _gaussians_from_out(self, out):
+        """Model output dict -> (mu, cov), for both heatmap (DSNT) and
+        coordinate-regression (Resnet sigma head) backbones."""
+        o = out["out"]
+        if o.ndim == 3:  # (N, K, 2) direct coordinates
+            return regression_gaussians(o, out["sigma"], use_covar=self.covar)
+        return dsnt_ops.logits_to_pixel_gaussians(o, use_covar=self.covar)
 
     # ------------------------------------------------------------------- steps
 
@@ -101,8 +141,7 @@ class DSNTAleatoric:
         kwargs = {}
         if mc_dropout:
             kwargs = dict(deterministic=False, rngs={"dropout": rng})
-        logits = model.apply(variables, img, **kwargs)["out"]
-        return dsnt_ops.logits_to_pixel_gaussians(logits, use_covar=self.covar)
+        return self._gaussians_from_out(model.apply(variables, img, **kwargs))
 
     def _forward_loss(self, model, variables, batch, rng, train: bool):
         """One forward -> (loss, logs, mu); loss/val share the same pass."""
@@ -112,8 +151,7 @@ class DSNTAleatoric:
         if train:
             kwargs["rngs"] = {"dropout": rng}
         out = model.apply(variables, img, **kwargs)
-        logits = out["out"]
-        mu, sigma = dsnt_ops.logits_to_pixel_gaussians(logits, use_covar=self.covar)
+        mu, sigma = self._gaussians_from_out(out)
         point_loss, logdet, maha = dsnt_ops.gaussian_nll(
             mu, sigma, y,
             log_penalty_weight=self.log_penalty_weight,
@@ -158,9 +196,7 @@ class DSNTAleatoric:
             n = img.shape[0]
             key = rng if rng is not None else jax.random.key(0)
             out = self._mc_apply(model, variables, img, t_e, key, mesh=mesh)
-            mu, sigma = dsnt_ops.logits_to_pixel_gaussians(
-                out["out"], use_covar=self.covar
-            )
+            mu, sigma = self._gaussians_from_out(out)
             mu = mu.reshape((t_e, n) + mu.shape[1:]).swapaxes(0, 1)
             sigma = sigma.reshape((t_e, n) + sigma.shape[1:]).swapaxes(0, 1)
             return mu, sigma

@@ -201,3 +201,34 @@ def test_dsnt_skew_freeze_seg_trains_only_confidence_net():
     deltas2 = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.abs(a - b).max()), before2["unet"], after2["unet"]))
     assert max(deltas2) > 0.0
+
+
+def test_resnet_regression_trains_and_predicts():
+    """Standalone Resnet backbone (reference models/resnet.py:196-225):
+    direct (K, 2) output + sigma branch through the DSNT-AL aleatoric task
+    (task/model=resnet)."""
+    from contouring_uncertainty_tpu.models.resnet import Resnet
+    from contouring_uncertainty_tpu.tasks import DSNTAleatoric
+
+    rng = np.random.default_rng(2)
+    task = DSNTAleatoric(
+        data_params=DP_CONTOUR, model_name="resnet", t_e=2,
+        model_kwargs={"layers": (1, 1, 1, 1), "dropout": 0.1},
+    )
+    batch = _batch(rng)
+    model, variables, logs = _check_task_trains(task, batch)
+    assert isinstance(model, Resnet)
+    assert model.sigma_out == 3  # full-covariance parameterization
+
+    out = model.apply(variables, batch[Tags.img])
+    assert out["out"].shape == (4, 21, 2)
+    assert out["sigma"].shape == (4, 21, 3)
+
+    # predict: MC-dropout epistemic axis + PSD covariances
+    mu, cov = task.predict(model, variables, batch[Tags.img], rng=jax.random.key(3))
+    assert mu.shape == (4, 2, 21, 2)
+    assert cov.shape == (4, 2, 21, 2, 2)
+    c = np.asarray(cov)
+    assert np.all(np.linalg.eigvalsh(c) > 0)
+    # Covariance symmetry by construction.
+    np.testing.assert_allclose(c, np.swapaxes(c, -1, -2), rtol=0, atol=0)
