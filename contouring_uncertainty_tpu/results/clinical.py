@@ -14,6 +14,7 @@ on host.
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -22,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from contouring_uncertainty_tpu.data.config import Label
 from contouring_uncertainty_tpu.results import register
 from contouring_uncertainty_tpu.results.utils import (
     _pearson,
@@ -167,6 +169,16 @@ _perimeter_batch = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("use_myo",))
+def _gls_len_batch(segs, use_myo: bool):
+    """(..., H, W) label maps -> longitudinal endocardial lengths (...)."""
+    flat = segs.reshape(-1, *segs.shape[-2:])
+    lens = jax.vmap(
+        lambda s: C.mask_longitudinal_length(s, use_myo=use_myo)
+    )(flat)
+    return lens.reshape(segs.shape[:-2])
+
+
 def _ed_es(res):
     inst = res.instants or {"ED": 0, "ES": min(1, res.img.shape[0] - 1)}
     return inst["ED"], inst["ES"]
@@ -225,6 +237,27 @@ def clinical_metrics(results: List, out_dir: Path) -> dict:
                 gt_gls = float(np.asarray(
                     C.gls(jnp.asarray(res.contour[ed]), jnp.asarray(res.contour[es]))
                 ))
+            row.update({f"GLS_{k}": v for k, v in _metric_row(pred_gls, gt_gls, gls_mc, 0.0, 1.0).items()})
+        else:
+            # Mask-space GLS for the segmentation baselines (reference
+            # clinical/view.py:88-124 GLS.gls -> EchoMeasure.gls on the
+            # pred_samples label maps; the repo's contour tasks use the
+            # contour branch above). Lengths for the ED/ES frames of every
+            # MC sample in one batched device reduction.
+            use_myo = Label.MYO in tuple(res.labels)
+            seg_mc = jnp.round(jnp.asarray(
+                res.pred_samples[[ed, es]], jnp.float32))  # (2, Te, Ta, H, W)
+            lens = np.asarray(_gls_len_batch(seg_mc, use_myo))
+            gls_mc = (lens[0] - lens[1]) / lens[0]  # (Te, Ta), ED-relative
+            mc_pops["GLS"] = gls_mc
+            pred_lens = np.asarray(_gls_len_batch(
+                jnp.asarray(res.pred[[ed, es]], jnp.float32), use_myo))
+            pred_gls = float((pred_lens[0] - pred_lens[1]) / pred_lens[0])
+            gt_gls = None
+            if res.gt is not None:
+                gt_lens = np.asarray(_gls_len_batch(
+                    jnp.asarray(res.gt[[ed, es]], jnp.float32), use_myo))
+                gt_gls = float((gt_lens[0] - gt_lens[1]) / gt_lens[0])
             row.update({f"GLS_{k}": v for k, v in _metric_row(pred_gls, gt_gls, gls_mc, 0.0, 1.0).items()})
         view_rows[res.id] = row
 

@@ -85,6 +85,105 @@ def metric_error(pred, gt, relative: bool = False):
     return err / gt if relative else err
 
 
+# --------------------------------------------------------- mask-space GLS
+
+# Marching-squares segment length per 2x2 cell code at the 0.5 iso-level
+# (vertices at edge midpoints): single-corner cuts are sqrt(2)/2, adjacent
+# pairs 1, diagonal (saddle) pairs 2*sqrt(2)/2.
+_MS_D = 0.7071067811865476
+_MS_LUT = jnp.asarray(
+    [0.0, _MS_D, _MS_D, 1.0, _MS_D, 1.0, 2 * _MS_D, _MS_D,
+     _MS_D, 2 * _MS_D, 1.0, _MS_D, 1.0, _MS_D, _MS_D, 0.0],
+    jnp.float32,
+)
+
+
+def mask_perimeter(mask: jnp.ndarray) -> jnp.ndarray:
+    """Marching-squares perimeter of a binary (H, W) mask at the 0.5 level.
+
+    Device replacement for the reference's pixel-walk length
+    (vital measure.py:355-357 sums steps along the skimage contour): one
+    vectorized 2x2-cell pass — cell code -> one-hot -> LUT matmul (the 16-way
+    one-hot contraction maps to the MXU; no gather). Both estimators follow
+    the digitized boundary, so their ratio across frames — all GLS uses —
+    agrees closely (oracle-gated in tests/test_reference_oracle.py)."""
+    m = jnp.pad((mask != 0).astype(jnp.float32), 1)
+    code = (m[:-1, :-1] + 2 * m[:-1, 1:] + 4 * m[1:, :-1] + 8 * m[1:, 1:])
+    onehot = jax.nn.one_hot(code.astype(jnp.int32).ravel(), 16, dtype=jnp.float32)
+    return onehot.sum(axis=0) @ _MS_LUT
+
+
+def _dilate3(m: jnp.ndarray) -> jnp.ndarray:
+    """3x3 binary dilation of an (H, W) float 0/1 map."""
+    return jax.lax.reduce_window(m, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+
+def mask_endo_base(seg: jnp.ndarray, lv_label: int = 1, myo_label: int = 2,
+                   use_myo: bool = True):
+    """Left/right base markers of the endocardium from a (H, W) label map.
+
+    Device port of the reference's `EchoMeasure._endo_base`
+    (vital measure.py:177-224): base = the LV pixels on the frontier of a
+    dilated myocardium AND dilated background, split into left/right halves
+    by the frontier's mean x, taking the bottom-most point of each half.
+    With `use_myo=False` (binary LV masks — the reference falls back to
+    polar-contour landmark peaks, measure.py:257-264) the frontier is the
+    whole LV edge and the same bottom-most-per-half rule approximates the
+    base corners. Returns ((y_l, x_l), (y_r, x_r), valid)."""
+    lv = (seg == lv_label).astype(jnp.float32)
+    if use_myo:
+        myo = (seg == myo_label).astype(jnp.float32)
+        others = 1.0 - jnp.maximum(lv, myo)
+        frontier = lv * _dilate3(myo) * _dilate3(others)
+    else:
+        frontier = lv * _dilate3(1.0 - lv)
+    h, w = frontier.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))
+    cnt = frontier.sum()
+    valid = cnt >= 2
+    mean_x = (frontier * xs).sum() / jnp.maximum(cnt, 1.0)
+    f, y, x = frontier.ravel(), ys.ravel(), xs.ravel()
+    left = f * (x < mean_x)
+    right = f * (x >= mean_x)
+
+    def bottom(sel):
+        i = jnp.argmax(jnp.where(sel > 0, y, -1.0))
+        return y[i], x[i]
+
+    return bottom(left), bottom(right), valid
+
+
+def mask_longitudinal_length(seg: jnp.ndarray, lv_label: int = 1,
+                             myo_label: int = 2,
+                             use_myo: bool = True) -> jnp.ndarray:
+    """Longitudinal (base-excluded) endocardial length of one label map.
+
+    The reference walks the LV contour from base corner to base corner
+    through the apex and sums step lengths (vital measure.py:341-357
+    `_lv_longitudinal_length`). Device equivalent: full marching-squares
+    perimeter minus the base chord (the base is the near-straight segment
+    between the two corners, so its contour length is its chord to first
+    order). NaN when the base cannot be identified (reference raises and
+    the caller records NaN, view.py:96-97)."""
+    lv = seg == lv_label
+    per = mask_perimeter(lv)
+    (yl, xl), (yr, xr), valid = mask_endo_base(seg, lv_label, myo_label, use_myo)
+    chord = jnp.sqrt((yl - yr) ** 2 + (xl - xr) ** 2)
+    length = jnp.maximum(per - chord, 1e-3)
+    return jnp.where(valid, length, jnp.nan)
+
+
+def gls_mask_sequence(segs: jnp.ndarray, lv_label: int = 1, myo_label: int = 2,
+                      use_myo: bool = True) -> jnp.ndarray:
+    """GLS curve (%) over an (N, H, W) label-map sequence vs frame 0
+    (reference EchoMeasure.gls, vital measure.py:322-367)."""
+    lengths = jax.vmap(
+        lambda s: mask_longitudinal_length(s, lv_label, myo_label, use_myo)
+    )(segs)
+    return (lengths - lengths[0]) / lengths[0] * 100.0
+
+
 # ----------------------------------------------------- Simpson biplane volume
 
 def _principal_axis(mask: jnp.ndarray):

@@ -127,6 +127,12 @@ def test_results_processors_end_to_end(tmp_path):
     assert any(k.startswith("calibration/") for k in metrics)
     assert "mutual_info/mi_morphological_baseline" in metrics
 
+    # Thresholds sweep artifacts (reference point_metrics.py:114-117 +
+    # utils/thresholds.py:59-96 figure, metrics.py:22-66 correlation sweep).
+    assert (tmp_path / "results" / "thresholds_points.png").exists()
+    assert any(k.startswith("point_metrics/monoticity_") for k in metrics)
+    assert (tmp_path / "results" / "corr_thresholds-Error-cov_det.png").exists()
+
     # Per-view metric dashboards (reference metric_plot,
     # clinical_metrics.py:269-508 invoked at :140-143): one figure per view
     # in metric_figures/ (spline contours) and metric_figures2/ (mask
@@ -226,3 +232,57 @@ def test_metric_dashboard_parallel_rendering(tmp_path):
     render_dashboards(payloads, tmp_path, parallel_threshold=2, max_workers=2)
     for sub in ("metric_figures", "metric_figures2"):
         assert len(list((tmp_path / sub).glob("*.png"))) == 3, sub
+
+
+def test_mask_space_gls_for_segmentation_results(tmp_path):
+    """Segmentation baselines (no contour_samples) get GLS view rows from
+    the mask population (reference clinical/view.py:88-124 GLS.gls ->
+    EchoMeasure.gls; VERDICT r4 missing #2)."""
+    from contouring_uncertainty_tpu.data.config import BatchResult, Label
+    from contouring_uncertainty_tpu.results.clinical import clinical_metrics
+
+    size, te, ta = 64, 2, 3
+    yy, xx = np.mgrid[0:size, 0:size]
+    cy, cx = size * 0.62, size * 0.5
+
+    def seg_frame(scale):
+        ry, rx = size * 0.36 * scale, size * 0.2 * scale
+        ell = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        lv = ell & (yy <= cy)
+        ell_o = ((yy - cy) / (ry + 5)) ** 2 + ((xx - cx) / (rx + 5)) ** 2 <= 1.0
+        myo = ell_o & (yy <= cy) & ~lv
+        seg = np.zeros((size, size), np.int64)
+        seg[myo] = 2
+        seg[lv] = 1
+        return seg
+
+    rng = np.random.default_rng(0)
+    pred = np.stack([seg_frame(1.0), seg_frame(0.82)])  # (N=2: ED, ES)
+    samples = np.stack([
+        np.stack([
+            np.stack([seg_frame(s + 0.02 * rng.standard_normal())
+                      for _ in range(ta)])
+            for _ in range(te)])
+        for s in (1.0, 0.82)])  # (N, Te, Ta, H, W)
+    res = BatchResult(
+        id="patient0001/2CH",
+        img=pred[:, None].astype(np.float32),
+        gt=pred.astype(np.int32),
+        pred=pred.astype(np.int32),
+        labels=(Label.BG, Label.LV, Label.MYO),
+        uncertainty_map=np.zeros_like(pred, np.float32),
+        instants={"ED": 0, "ES": 1},
+        voxelspacing=(1.0, 1.0),
+        pred_samples=samples.astype(np.uint8),
+    )
+    summary = clinical_metrics([res], tmp_path)
+    import pandas as pd
+
+    view = pd.read_csv(tmp_path / "clinical" / "view_df.csv", index_col=0)
+    for col in ("GLS_pred", "GLS_gt", "GLS_mean", "GLS_std",
+                "GLS_aleatoric_std", "GLS_epistemic_std", "GLS_error"):
+        assert col in view.columns, col
+        assert np.isfinite(float(view[col].iloc[0])), col
+    # Contracting LV: positive shortening fraction, and GT == pred here.
+    assert 0.02 < float(view["GLS_pred"].iloc[0]) < 0.5
+    assert abs(float(view["GLS_pred"].iloc[0]) - float(view["GLS_gt"].iloc[0])) < 1e-6
