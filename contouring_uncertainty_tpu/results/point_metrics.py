@@ -16,6 +16,7 @@ from contouring_uncertainty_tpu.results.utils import (
     calibration,
     compute_correlations,
     dataframe_to_dict,
+    thresholded_correlation,
     thresholded_metrics,
 )
 
@@ -83,5 +84,10 @@ def point_metrics(results: List, out_dir: Path) -> dict:
             ["cov_xx", "cov_yy", "cov_det"],
             ["X-Error", "Y-Error", "Error"],
             filename=out_dir / "thresholds_points.png",
+        ))
+        # Tail-correlation sweep for the headline pair (reference
+        # results/metrics.py:22-66 Metrics.thresholded_correlation).
+        summary.update(thresholded_correlation(
+            uncertainties, metrics, "cov_det", "Error", out_dir=out_dir,
         ))
     return summary

@@ -9,6 +9,7 @@ outlier filtering is reimplemented directly (statsmodels unavailable).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -120,8 +121,12 @@ def _plot_calibration(curves, filename):
 def thresholded_metrics(uncertainties: Dict, metrics: Dict, u_keys, m_keys,
                         filename=None, nb_bins: int = 10) -> Dict[str, float]:
     """Mean error among samples below each uncertainty percentile threshold
-    (reference results/utils/thresholds.py:57+)."""
+    (reference results/utils/thresholds.py:16-96): per-threshold mean errors,
+    a spearman `monoticity_*` scalar per pair, and (when `filename` is
+    given) the reference's thresholds figure — error vs % of remaining
+    samples, x-axis inverted, one panel per pair."""
     results = {}
+    curves = []
     for u_key, m_key in zip(u_keys, m_keys):
         if u_key not in uncertainties or m_key not in metrics:
             continue
@@ -133,11 +138,86 @@ def thresholded_metrics(uncertainties: Dict, metrics: Dict, u_keys, m_keys,
             continue
         u_sorted = np.sort(u)
         cut_idx = np.linspace(1, len(u_sorted) - 1, nb_bins).astype(int)
-        for pct, t in zip(cut_idx / len(u_sorted) * 100, u_sorted[cut_idx]):
+        pcts = cut_idx / len(u_sorted) * 100
+        errs = []
+        for pct, t in zip(pcts, u_sorted[cut_idx]):
             kept = e[u < t]
+            errs.append(float(kept.mean()) if len(kept) else np.nan)
             if len(kept):
-                results[f"threshold-{m_key}-{u_key}-{pct:.0f}"] = float(kept.mean())
+                results[f"threshold-{m_key}-{u_key}-{pct:.0f}"] = errs[-1]
+        from scipy import stats as _st
+
+        mono = _st.spearmanr(pcts, errs, nan_policy="omit")[0]
+        results[f"monoticity_{m_key}-{u_key}"] = float(mono)
+        curves.append((u_key, m_key, pcts, np.asarray(errs), float(mono)))
+    if filename is not None and curves:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        f, axes = plt.subplots(1, len(curves), squeeze=False,
+                               figsize=(4 * len(curves), 4))
+        for ax, (u_key, m_key, pcts, errs, mono) in zip(axes.ravel(), curves):
+            ax.plot(pcts, errs, marker="o")
+            ax.set_title(f"{m_key}-{u_key} {mono:.2f}")
+            ax.set_ylabel(m_key)
+            ax.set_xlabel("Percentage of remaining samples")
+            ax.invert_xaxis()
+        plt.tight_layout()
+        plt.savefig(filename, dpi=80)
+        plt.close()
     return results
+
+
+def thresholded_correlation(uncertainties: Dict, metrics: Dict, u_key: str,
+                            m_key: str, out_dir=None, n: int = 20) -> Dict[str, float]:
+    """Uncertainty-error correlation among samples ABOVE a sweep of
+    uncertainty / error thresholds (reference results/metrics.py:22-66
+    `Metrics.thresholded_correlation`), saving
+    `corr_thresholds-{metric}-{uncertainty}.png` when `out_dir` is given.
+    Returns the tail correlations at the median thresholds as scalars."""
+    if u_key not in uncertainties or m_key not in metrics:
+        return {}
+    u = np.asarray(uncertainties[u_key], float)
+    e = np.asarray(metrics[m_key], float)
+    ok = np.isfinite(u) & np.isfinite(e)
+    u, e = u[ok], e[ok]
+    if len(u) < 3 or u.min() == u.max():
+        return {}
+    thr_u = np.linspace(u.min(), u.max(), n)
+    thr_e = np.linspace(e.min(), e.max(), n)
+    corr_u, corr_e = [], []
+    for i in range(n):
+        idx = u > thr_u[i]
+        corr_u.append(_pearson(u[idx], e[idx]) if idx.sum() > 1 else np.nan)
+        idx = e > thr_e[i]
+        corr_e.append(_pearson(u[idx], e[idx]) if idx.sum() > 1 else np.nan)
+    if out_dir is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        fig = plt.figure()
+        plt.suptitle(f"{m_key}-{u_key}")
+        ax1 = fig.add_subplot(1, 1, 1)
+        l1 = ax1.plot(thr_u, corr_u, marker="o", label="Uncertainty threshold")
+        ax1.set_ylabel("Correlation")
+        ax1.set_xlabel("Uncertainty thresholds")
+        ax2 = ax1.twiny()
+        ax2.yaxis.tick_right()
+        l2 = ax2.plot(thr_e, corr_e, marker="o", color="r", label="Metric threshold")
+        ax2.set_xlabel("Metric thresholds")
+        leg = l1 + l2
+        ax1.legend(leg, [l.get_label() for l in leg])
+        plt.savefig(Path(out_dir) / f"corr_thresholds-{m_key}-{u_key}.png", dpi=80)
+        plt.close()
+    mid = n // 2
+    return {
+        f"tail_corr_u-{m_key}-{u_key}": float(corr_u[mid]),
+        f"tail_corr_e-{m_key}-{u_key}": float(corr_e[mid]),
+    }
 
 
 def _pearson(x: np.ndarray, y: np.ndarray) -> float:
