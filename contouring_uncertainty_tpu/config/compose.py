@@ -49,8 +49,17 @@ def _set_dotted(cfg: Dict, dotted: str, value: Any):
     node[keys[-1]] = value
 
 
+_NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _parse_value(raw: str) -> Any:
-    return yaml.safe_load(raw)
+    value = yaml.safe_load(raw)
+    # Hydra's override grammar parses `lr=3e-4` as a float; YAML 1.1 only
+    # accepts `3.0e-4` and hands back a *string* otherwise, which would let
+    # a numeric CLI override silently reach optax/jnp as str. Match Hydra.
+    if isinstance(value, str) and _NUM_RE.fullmatch(value.strip()):
+        return float(value)
+    return value
 
 
 def compose(overrides: Optional[List[str]] = None, config_dir: Path = CONFIG_DIR) -> Dict:

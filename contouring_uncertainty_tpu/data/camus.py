@@ -62,8 +62,12 @@ class CamusContourData:
         labels: Sequence[Label] = (Label.BG, Label.LV),
         cache_dir: Optional[Path] = None,
         use_sequence: bool = False,
+        transform=None,
     ):
         self.path = Path(dataset_path)
+        # Optional static image transform (data/transform group — see
+        # data/transforms.py); applied once per view stack at load time.
+        self.transform = transform
         self.fold = fold
         self.points_per_side = points_per_side
         self.labels = tuple(labels)
@@ -114,6 +118,8 @@ class CamusContourData:
                         img = img[..., 0]
                     if img.max() > 1.5:  # raw grayscale datasets store 0..255
                         img = img / 255.0
+                    if self.transform is not None:
+                        img = np.asarray(self.transform(img), np.float32)
                     gt = np.asarray(g["gt_proc"], np.uint8)
                     vid = f"{pid}/{view}"
                     ckey = vid.replace("/", "_")

