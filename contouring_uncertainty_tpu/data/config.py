@@ -23,6 +23,16 @@ class Label(IntEnum):
     ATRIUM = 3
 
 
+class LungLabel(IntEnum):
+    """Anatomical structures in JSRT chest X-ray masks (reference
+    contour_uncertainty/data/lung/config.py:9-19: BG/LUNG/HEART — both
+    lungs share one label)."""
+
+    BG = 0
+    LUNG = 1
+    HEART = 2
+
+
 class Tags:
     """String keys used in batch dictionaries."""
 

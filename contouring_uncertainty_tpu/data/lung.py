@@ -18,12 +18,18 @@ from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
-from contouring_uncertainty_tpu.data.config import DataParams, Label, Tags
+from contouring_uncertainty_tpu.data.config import DataParams, LungLabel, Tags
 
 # Landmark counts per structure (reference data/lung/config.py:33-39).
+# Label semantics follow the reference exactly (config.py:9-19 + utils.py
+# LungContourToMask:44-70): BOTH lungs share LungLabel.LUNG (1), the heart
+# is LungLabel.HEART (2), and where lung and heart polygons overlap the
+# LUNG label wins (the reference argmaxes channel order [BG, LUNG, HEART],
+# and np.argmax takes the first max).
 RLUNG, LLUNG, HEART = 44, 50, 26
-STRUCTURES = (("rlung", 0, RLUNG, 1), ("llung", RLUNG, RLUNG + LLUNG, 2),
-              ("heart", RLUNG + LLUNG, RLUNG + LLUNG + HEART, 3))
+STRUCTURES = (("rlung", 0, RLUNG, int(LungLabel.LUNG)),
+              ("llung", RLUNG, RLUNG + LLUNG, int(LungLabel.LUNG)),
+              ("heart", RLUNG + LLUNG, RLUNG + LLUNG + HEART, int(LungLabel.HEART)))
 N_POINTS = RLUNG + LLUNG + HEART
 
 
@@ -35,7 +41,9 @@ def lung_contour_to_mask(contour: np.ndarray, shape: Tuple[int, int]) -> np.ndar
     """Rasterize the three structures into a label map (host/numpy variant).
 
     Device paths use ops/rasterize per structure; this mirrors the reference
-    LungContourToMask for data generation and tests.
+    LungContourToMask for data generation and tests. The heart is drawn
+    FIRST so the lungs overwrite it in overlaps (reference precedence; see
+    STRUCTURES note).
     """
     from matplotlib.path import Path as MplPath
 
@@ -43,7 +51,7 @@ def lung_contour_to_mask(contour: np.ndarray, shape: Tuple[int, int]) -> np.ndar
     yy, xx = np.mgrid[0:h, 0:w]
     pts = np.stack([xx.ravel(), yy.ravel()], -1)
     out = np.zeros(shape, np.uint8)
-    for name, a, b, label in STRUCTURES:
+    for name, a, b, label in sorted(STRUCTURES, key=lambda s: -s[3]):
         inside = MplPath(contour[a:b]).contains_points(pts).reshape(shape)
         out[inside] = label
     return out
@@ -53,9 +61,13 @@ class JSRTContourData:
     """In-memory JSRT reader with the same API as CamusContourData."""
 
     def __init__(self, dataset_path: str | Path,
-                 labels: Sequence[Label] = (Label.BG, Label.LV, Label.MYO, Label.ATRIUM)):
+                 labels: Sequence[LungLabel] = (LungLabel.BG, LungLabel.LUNG,
+                                                LungLabel.HEART),
+                 transform=None):
         self.path = Path(dataset_path)
         self.labels = tuple(labels)
+        # Optional static image transform (data/transform group).
+        self.transform = transform
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
 
     def _load(self, split: str):
@@ -70,6 +82,8 @@ class JSRTContourData:
                 img = np.asarray(g["img"], np.float32)
                 if img.max() > 1.5:
                     img = img / 255.0
+                if self.transform is not None:
+                    img = np.asarray(self.transform(img), np.float32)
                 imgs.append(img[None])
                 gts.append(np.asarray(g["gt"], np.uint8))
                 contours.append(np.asarray(g["contour"], np.float32))
@@ -100,7 +114,9 @@ class JSRTContourData:
     @property
     def contour_groups(self):
         """(start, end, label) landmark slices per structure for the predict
-        pipeline (rlung/llung/heart)."""
+        pipeline (rlung/llung/heart, landmark order). Overlap precedence
+        (lungs beat heart — reference LungContourToMask argmax order) is the
+        rasterizer's job: it paints in descending label order."""
         return tuple((a, b, label) for _, a, b, label in STRUCTURES)
 
     @property

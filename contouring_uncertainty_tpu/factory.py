@@ -43,17 +43,20 @@ def build_data(cfg: Dict):
         return CamusContourData(
             path, fold=data_cfg.get("fold", 5),
             points_per_side=data_cfg.get("points_per_side", 11), labels=labels,
+            transform=transform,
         )
     if name in ("camus-cont", "camus"):
         return CamusContourData(
             data_cfg["dataset_path"], fold=data_cfg.get("fold", 5),
             points_per_side=data_cfg.get("points_per_side", 11), labels=labels,
             use_sequence=data_cfg.get("use_sequence", False),
+            transform=transform,
         )
     if name in ("lung", "lung-cont"):
         from contouring_uncertainty_tpu.data.lung import JSRTContourData
 
-        return JSRTContourData(data_cfg["dataset_path"])
+        return JSRTContourData(data_cfg["dataset_path"], labels=labels,
+                               transform=transform)
     raise ValueError(f"Unknown data config '{name}'")
 
 

@@ -244,9 +244,14 @@ class AleatoricPredictor(_ViewPredictor):
         self._jitted_batched = {}
 
     def _rasterize_labelmap(self, points, h, w):
-        """(..., K, 2) multi-structure landmarks -> (..., H, W) label map."""
+        """(..., K, 2) multi-structure landmarks -> (..., H, W) label map.
+
+        Painted in DESCENDING label order so the lowest label wins overlaps
+        — the reference converts to per-class channels and argmaxes in label
+        order (np.argmax takes the first max), e.g. JSRT lungs (1) beat the
+        heart (2) where their polygons overlap (data/lung/utils.py:44-70)."""
         out = None
-        for start, end, label in self.groups:
+        for start, end, label in sorted(self.groups, key=lambda g: -g[2]):
             mask = rasterize_batch(points[..., start:end, :], h, w)
             lab = jnp.asarray(float(label), mask.dtype)
             out = mask * lab if out is None else jnp.where(mask > 0, lab, out)
@@ -285,11 +290,18 @@ class AleatoricPredictor(_ViewPredictor):
             pred_samples = _gaussian_blur((pred_samples > 0).astype(jnp.float32))
 
         def group_umap(fn):
+            multi = len(self.groups) > 1
             total = None
             for start, end, _ in self.groups:
                 u = fn(start, end)
+                if multi:
+                    # Reference LungUMap (data/lung/utils.py:74-95): each
+                    # structure's umap is normalized by its own max before
+                    # summing, and the sum is clipped to [0, 1].
+                    peak = jnp.max(u, axis=(-2, -1), keepdims=True)
+                    u = u / jnp.maximum(peak, 1e-12)
                 total = u if total is None else total + u
-            return total
+            return jnp.clip(total, 0.0, 1.0) if multi else total
 
         if skew:
             # Skew path (aleatoric_skew.py:54-130): alpha averaged over T_e,
@@ -301,7 +313,14 @@ class AleatoricPredictor(_ViewPredictor):
                     lambda m, c, a: skew_umap(m, c, a, (h, w))
                 )(mu[:, start:end], cov[:, start:end], alpha[:, start:end])
                 modes.append(m_g)
+                if len(self.groups) > 1:
+                    # Reference LungSkewUmap (data/lung/utils.py:98-120):
+                    # per-structure max-normalize, clipped sum.
+                    peak = jnp.max(u_g, axis=(-2, -1), keepdims=True)
+                    u_g = u_g / jnp.maximum(peak, 1e-12)
                 umap = u_g if umap is None else umap + u_g
+            if len(self.groups) > 1:
+                umap = jnp.clip(umap, 0.0, 1.0)
             mode = jnp.concatenate(modes, axis=1)
             pred = self._rasterize_labelmap(mode, h, w).astype(jnp.int32)
         else:

@@ -29,6 +29,7 @@ def run_processors(results, out_dir: Path, cfg: Dict) -> Dict:
         clinical,
         extras,
         instant_metrics,
+        lung_clinical,
         mutual_information,
         point_metrics,
     )

@@ -291,3 +291,42 @@ def compute_left_ventricle_volumes(
 
 def ejection_fraction(edv, esv):
     return (edv - esv) / edv
+
+
+# ------------------------------------------------------------ lung (JSRT)
+
+def mask_width(mask: jnp.ndarray) -> jnp.ndarray:
+    """Widest horizontal extent (px) of a binary (H, W) mask: max over rows
+    of (rightmost - leftmost + 1)."""
+    m = mask != 0
+    w = m.shape[-1]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    mx = jnp.max(jnp.where(m, xs, -1.0), axis=-1)
+    mn = jnp.min(jnp.where(m, xs, float(w)), axis=-1)
+    spans = jnp.where(m.any(axis=-1), mx - mn + 1.0, 0.0)
+    return spans.max(axis=-1)
+
+
+def cardiothoracic_ratio(seg: jnp.ndarray, lung_label: int = 1,
+                         heart_label: int = 2) -> jnp.ndarray:
+    """Cardiothoracic ratio from a JSRT (H, W) label map: maximal cardiac
+    silhouette width over maximal thoracic width (outer extent of the lung
+    fields — the lungs' lateral borders trace the inner rib cage on a PA
+    film). Standard chest-film measurement; computable from exactly the
+    BG/LUNG/HEART labels the reference's lung masks carry
+    (data/lung/config.py:9-19, utils.py LungContourToMask)."""
+    heart_w = mask_width(seg == heart_label)
+    thorax_w = mask_width((seg == lung_label) | (seg == heart_label))
+    return jnp.where(thorax_w > 0, heart_w / jnp.maximum(thorax_w, 1.0),
+                     jnp.nan)
+
+
+def lung_mask_metrics(seg: jnp.ndarray, lung_label: int = 1,
+                      heart_label: int = 2) -> jnp.ndarray:
+    """(H, W) label map -> stacked [lung_area, heart_area, CTR] (areas in
+    px^2). Stacked so a whole (Te, Ta) MC population reduces in one vmapped
+    device call (results/lung_clinical.py)."""
+    lung_area = jnp.sum(seg == lung_label).astype(jnp.float32)
+    heart_area = jnp.sum(seg == heart_label).astype(jnp.float32)
+    return jnp.stack([lung_area, heart_area, cardiothoracic_ratio(
+        seg, lung_label, heart_label)])
