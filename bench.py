@@ -337,6 +337,13 @@ def _bench_train_e2e(batch_size: int = 128, n_frames: int = 384,
     from contouring_uncertainty_tpu.parallel import make_mesh, shard_batch
     from contouring_uncertainty_tpu.tasks import DSNTAleatoric
 
+    # Guard (ADVICE r4): with n_frames < batch_size the prefetcher yields
+    # zero batches and the loop below would die with an opaque
+    # UnboundLocalError on `logs`.
+    assert n_frames >= batch_size, (
+        f"_bench_train_e2e needs n_frames ({n_frames}) >= batch_size "
+        f"({batch_size}) to form at least one batch"
+    )
     imgs, gts, contours = make_arrays(n_frames, 21, size, seed=5)
     if feed_uint8:  # TrainerConfig.feed_uint8: 4x fewer host->device bytes
         imgs = np.round(np.clip(imgs, 0.0, 1.0) * 255.0).astype(np.uint8)
@@ -383,14 +390,17 @@ def _bench_train_e2e(batch_size: int = 128, n_frames: int = 384,
                                np.uint32(si))
             si += 1
         _sync((logs["loss"],))
+        from contouring_uncertainty_tpu.train.trainer import _device_prefetch
+
         best = 0.0
         for _ in range(windows):
             frames = 0
             t0 = time.perf_counter()
             for _ in range(epochs_per_window):  # steady-state feed
-                for batch in prefetcher.epoch():
-                    state, logs = step(state, shard_batch(batch, mesh), key,
-                                       np.uint32(si))
+                # Double-buffered feed, exactly as Trainer.fit runs it
+                # (overlap_feed: transfer k+1 during step k).
+                for batch in _device_prefetch(prefetcher.epoch(), mesh):
+                    state, logs = step(state, batch, key, np.uint32(si))
                     si += 1
                     frames += batch[Tags.img].shape[0]
             _sync((logs["loss"],))

@@ -254,8 +254,11 @@ def _render_both(args) -> List[str]:
 
 
 def _pool_init():
-    # Defensive: workers must never boot a TPU backend even if a transitive
-    # import pulls in jax (the payload path is jax-free by construction).
+    # Defensive: keep workers from booting a TPU backend if a transitive
+    # import pulls in jax. NOTE (ADVICE r4): under fork the parent's already
+    # -initialized jax state is inherited, so this env var only protects
+    # fresh imports — the per-result timeout in render_dashboards is the
+    # real defense against a wedged child.
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -281,8 +284,14 @@ def render_dashboards(payloads: List[Dict], out_root: Path,
             ctx = mp.get_context("fork")  # raises on non-POSIX -> serial
             with ctx.Pool(min(max_workers, os.cpu_count() or 1),
                           initializer=_pool_init) as pool:
-                pool.map_async(_render_both, tasks, chunksize=2).get(
-                    timeout=60 + 30 * len(tasks))
+                # Per-result timeout (ADVICE r4): a wedged forked child must
+                # surface within ~2 min, not after a fold-sized 60+30*n cap
+                # (~50 min at 100 views). imap_unordered yields as results
+                # land; next() raising TimeoutError means no result arrived
+                # for 120 s — every healthy figure renders in ~2 s.
+                it = pool.imap_unordered(_render_both, tasks, chunksize=2)
+                for _ in range(len(tasks)):
+                    it.next(timeout=120)
             return
         except Exception:
             pass  # fall through to serial rendering

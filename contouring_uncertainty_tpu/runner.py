@@ -143,11 +143,32 @@ def run(overrides: Optional[List[str]] = None) -> Dict:
         # `predict_mesh=false` pins the single-device path (bitwise
         # latency-mode reproducibility); default 'auto' uses what's there.
         mesh = None
-        if (cfg.get("predict_mesh", "auto") in (True, "auto", "true")
-                and len(jax.devices()) > 1):
+        # Normalize truthy/falsy spellings from CLI overrides (ADVICE r4:
+        # 'True'/'1'/'yes'/'on' must not silently pin single-device serving).
+        raw_mesh = cfg.get("predict_mesh", "auto")
+        mesh_sel = str(raw_mesh).strip().lower()
+        if mesh_sel in ("true", "1", "yes", "on"):
+            mesh_sel = "auto"
+        elif mesh_sel in ("false", "0", "no", "off"):
+            mesh_sel = "false"
+        elif mesh_sel != "auto":
+            raise ValueError(
+                f"predict_mesh={raw_mesh!r} not understood — use 'auto', "
+                "true, or false"
+            )
+        if mesh_sel == "auto" and len(jax.devices()) > 1:
             from contouring_uncertainty_tpu.parallel import make_mesh
 
-            mesh = make_mesh()
+            # predict_sample_parallel=s composes view DP with sample-axis
+            # sharding on a 2D (views x samples) mesh — for the
+            # few-views-on-many-chips regime (parallel/serving.py).
+            s = int(cfg.get("predict_sample_parallel", 1) or 1)
+            if len(jax.devices()) % s:
+                raise ValueError(
+                    f"predict_sample_parallel={s} must divide the device "
+                    f"count ({len(jax.devices())})"
+                )
+            mesh = make_mesh(model_parallel=s)
         proc_metrics: Dict = {}
         results = run_predict(task, variables, data, cfg, mesh=mesh,
                               metrics_out=proc_metrics)
