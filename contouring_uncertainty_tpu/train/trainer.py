@@ -279,11 +279,17 @@ class Trainer:
             train_logs = []
             train_iter = (prefetcher.epoch() if prefetcher is not None
                           else _iterate(train_arrays, cfg.batch_size, np_rng))
+            if cfg.overlap_feed and not cfg.fast_dev_run:
+                train_iter = _device_prefetch(train_iter, self.mesh)
+                already_on_device = True
+            else:
+                already_on_device = False
             for bi, batch in enumerate(train_iter):
                 if cfg.fast_dev_run and bi >= cfg.fast_dev_run:
                     break
                 with timer.phase("data"):
-                    batch = shard_batch(batch, self.mesh)
+                    if not already_on_device:
+                        batch = shard_batch(batch, self.mesh)
                 with timer.phase("train_step"):
                     state, logs = self._train_step(
                         state, batch, rng, np.uint32(step)
@@ -385,6 +391,38 @@ class Trainer:
             if new:
                 writer.writeheader()
             writer.writerow(row)
+
+
+def _device_prefetch(batch_iter, mesh, depth: int = 2):
+    """Double-buffered host->device feed: a daemon thread runs shard_batch
+    (jax.device_put with the mesh sharding) for upcoming batches while the
+    main thread dispatches train steps, so the H2D transfer of batch k+1
+    overlaps step k's compute (TrainerConfig.overlap_feed). `depth` bounds
+    device-side staging memory to `depth` batches. Worker exceptions are
+    re-raised at the consuming site."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for b in batch_iter:
+                q.put(shard_batch(b, mesh))
+        except BaseException as exc:  # surfaced to the training loop
+            q.put(exc)
+            return
+        q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _iterate(arrays, batch_size, rng, shuffle=True, drop_last=True):
