@@ -164,25 +164,47 @@ class _ViewPredictor:
     _jitted_batched: Dict
 
     def __call__(self, variables, img: jnp.ndarray, key) -> Dict:
+        from contouring_uncertainty_tpu.parallel.serving import sample_axis_scope
+
         n = img.shape[0]
         if n not in self._jitted:
             fn = self._view_fn
             if self.mesh is not None and self.mesh.devices.size > 1:
                 # Latency mode: ONE view, its Monte-Carlo sample axis sharded
-                # across the mesh (parallel/serving.py constrain_sample_axis)
-                # so the per-sample chain — PSM sampling, rasterization,
-                # entropy — partitions over chips. The batched() path shards
-                # whole views instead (throughput mode); the two must not
-                # compose, so the constraint only enters this jit.
+                # across EVERY mesh axis (parallel/serving.py
+                # constrain_sample_axis) so the per-sample chain — PSM
+                # sampling, rasterization, entropy — partitions over all
+                # chips. (The batched() path shards whole views over the data
+                # axis instead; on a composed 2D mesh it additionally shards
+                # samples over the model axis — see batched().)
                 fn = partial(fn, shard_samples=True)
-            self._jitted[n] = jax.jit(fn)
+            with sample_axis_scope(self.mesh.axis_names if self.mesh is not None
+                                   else ()):
+                self._jitted[n] = jax.jit(fn)
+                return self._jitted[n](variables, img, key)
         return self._jitted[n](variables, img, key)
 
     def batched(self, variables, imgs: jnp.ndarray, keys) -> Dict:
-        """imgs (V, N, C, H, W), keys (V,) -> view-stacked output dict."""
+        """imgs (V, N, C, H, W), keys (V,) -> view-stacked output dict.
+
+        With a 1D mesh: pure view DP (one view's whole pipeline per chip,
+        zero collectives). With a COMPOSED 2D mesh (make_mesh(n,
+        model_parallel=s), cfg `predict_sample_parallel`): views shard over
+        the data axis AND each view's Monte-Carlo sample chain shards over
+        the model axis — for the few-views-on-many-chips regime where pure
+        view DP leaves chips idle (VERDICT r4 item 8).
+        """
+        from contouring_uncertainty_tpu.parallel.serving import sample_axis_scope
+
         shape = imgs.shape[:2]
         if shape not in self._jitted_batched:
-            fn = jax.vmap(self._view_fn, in_axes=(None, 0, 0))
+            from contouring_uncertainty_tpu.parallel.mesh import MODEL_AXIS
+
+            composed = (self.mesh is not None
+                        and self.mesh.shape.get(MODEL_AXIS, 1) > 1)
+            view_fn = (partial(self._view_fn, shard_samples=True)
+                       if composed else self._view_fn)
+            fn = jax.vmap(view_fn, in_axes=(None, 0, 0))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -193,7 +215,9 @@ class _ViewPredictor:
                 fn = jax.jit(fn, in_shardings=(repl, view_shard, view_shard))
             else:
                 fn = jax.jit(fn)
-            self._jitted_batched[shape] = fn
+            with sample_axis_scope((MODEL_AXIS,) if composed else ()):
+                self._jitted_batched[shape] = fn
+                return self._jitted_batched[shape](variables, imgs, keys)
         return self._jitted_batched[shape](variables, imgs, keys)
 
 
