@@ -253,3 +253,41 @@ def test_checkpoint_resume(camus_h5, tmp_path):
     trainer2.fit(train, val, resume_from=str(last))
     epochs = [row["epoch"] for row in trainer2.history]
     assert epochs == [4, 5]
+
+
+def test_single_vs_mesh_trained_equivalence(camus_h5, tmp_path):
+    """Train the same tiny model with identical seed/batches on a 1-device
+    mesh and on the full mesh(8): the mesh run must learn the same model up
+    to DP reduction-order drift (VERDICT r4 item 2 — the trained-weights
+    analogue of the predict mesh-equivalence gates in tests/test_parallel.py).
+    """
+    data = CamusContourData(camus_h5, fold=5)
+    train = data.train_arrays("train")
+    val = data.train_arrays("val")
+
+    def run(mesh, tag):
+        task = DSNTAleatoric(data_params=data.data_params,
+                             model_kwargs=SMALL_MODEL)
+        cfg = TrainerConfig(
+            batch_size=8, max_epochs=8, patience=100, lr=1e-3, seed=4,
+            save_path=str(tmp_path / tag), name=tag, augment=False,
+        )
+        trainer = Trainer(task, cfg, mesh=mesh)
+        variables, _ = trainer.fit(train, val)
+        return variables, trainer.history
+
+    v1, h1 = run(make_mesh(1), "single")
+    v8, h8 = run(make_mesh(8), "mesh8")
+
+    # Loss trajectories must match to DP reduction-order tolerance.
+    l1 = np.asarray([row["train/loss"] for row in h1])
+    l8 = np.asarray([row["train/loss"] for row in h8])
+    np.testing.assert_allclose(l8, l1, rtol=0.02)
+
+    # Trained weights agree leaf-by-leaf (identical data order and init;
+    # only the mesh all-reduce's summation order differs).
+    flat1 = jax.tree.leaves(v1["params"])
+    flat8 = jax.tree.leaves(v8["params"])
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(flat1, flat8))
+    assert worst < 5e-2, f"trained-weight drift {worst}"
