@@ -174,30 +174,37 @@ def logits_to_pixel_gaussians(logits: jnp.ndarray, use_covar: bool = True):
         raw = raw[:, :6].reshape(*reversed(lead), 6)
         raw = jnp.transpose(raw, tuple(reversed(range(len(lead)))) + (len(lead),))
     else:
-        # Same column orientation as the kernel path, for the same reason:
-        # the head conv emits batch-in-lanes, and a (B*K, HW) reshape forces
-        # two full relayout passes of the f32 heatmap (copy.217/copy.259 in
-        # the training-step HLO, ~34 us/frame at batch 64 — plus mirrored
-        # copies in the backward). Columns keep the layout bitcast-clean in
-        # both directions of autodiff.
-        # The lead axes stay SEPARATE (no (HW, K*B) merge): merging would put
-        # a sharded batch axis as the minor factor of a reshaped dim, which
-        # GSPMD cannot propagate through — the multi-chip DP serving path
-        # would silently replicate. tensordot over the pixel axis keeps each
-        # lead axis shardable and the layout bitcast-clean.
-        basis = _moment_basis(height, width, 2, jnp.float32)
-        ones = jnp.ones((hw, 1), jnp.float32)
-        basis_t = jnp.concatenate([ones, basis], axis=1).T  # (6, HW)
-        nd = logits.ndim
-        perm = (nd - 2, nd - 1) + tuple(reversed(range(nd - 2)))
-        t = jnp.transpose(logits, perm).astype(jnp.float32)  # (H, W, *rev_lead)
-        t = t.reshape(hw, *t.shape[2:])
-        m = jnp.max(t, axis=0, keepdims=True)
-        e = jnp.exp(t - m)
-        raw = jnp.tensordot(basis_t, e, axes=(1, 0),
-                            precision=jax.lax.Precision.HIGHEST)
-        raw = raw / raw[:1]  # (6, *rev_lead)
-        raw = jnp.transpose(raw, tuple(range(raw.ndim - 1, 0, -1)) + (0,))
+        # SEPARABLE moments in the heatmap's NATIVE (..., H, W) layout —
+        # no transpose/reshape of the big tensor at all. The earlier
+        # column-oriented (6, HW) x (HW, ...) tensordot was "bitcast-clean"
+        # at training shapes, but at the predict-head shape (lead (20, 21))
+        # XLA relayouted the 110 MB f32 exp tensor to feed the contraction
+        # (copy.1652, 655 us/frame = 6% of the TMI view step — round-5
+        # trace). Every monomial in [1, x, y, x^2, y^2, xy] is separable, so
+        # the six moments reduce along single axes: row/col sums consume e
+        # in whatever layout the head conv emitted (XLA reduces any axis
+        # in-place and fuses the exp), then the weighted sums run on the
+        # tiny (..., H)/(..., W) marginals. E[xy] = sum_h y_h (sum_w x_w
+        # e_hw) needs one extra x-weighted pass over e. All accumulation is
+        # f32 VPU (no MXU involved) — at least as accurate as the HIGHEST
+        # matmul it replaces (oracle gates in tests/test_dsnt.py +
+        # test_torch_parity.py). Lead axes never merge, so every lead axis
+        # stays GSPMD-shardable (DP serving requirement).
+        xs = normalized_linspace(width, dtype=jnp.float32)   # (W,)
+        ys = normalized_linspace(height, dtype=jnp.float32)  # (H,)
+        t = logits.astype(jnp.float32)
+        m = jnp.max(t, axis=(-2, -1), keepdims=True)
+        e = jnp.exp(t - m)                     # (..., H, W)
+        col = jnp.sum(e, axis=-2)              # (..., W) marginal over y
+        row = jnp.sum(e, axis=-1)              # (..., H) marginal over x
+        tx = jnp.sum(e * xs, axis=-1)          # (..., H) x-weighted rows
+        s0 = jnp.sum(row, axis=-1)             # (...,)
+        ex = jnp.sum(col * xs, axis=-1) / s0
+        ey = jnp.sum(row * ys, axis=-1) / s0
+        ex2 = jnp.sum(col * (xs * xs), axis=-1) / s0
+        ey2 = jnp.sum(row * (ys * ys), axis=-1) / s0
+        exy = jnp.sum(tx * ys, axis=-1) / s0
+        raw = jnp.stack([jnp.ones_like(ex), ex, ey, ex2, ey2, exy], axis=-1)
     return raw6_to_pixel_gaussians(raw, height, width, use_covar)
 
 
